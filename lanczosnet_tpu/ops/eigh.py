@@ -1,0 +1,58 @@
+"""Batched symmetric eigendecomposition with degeneracy-safe gradients.
+
+The reference differentiates `torch.symeig` inside AdaLanczosNet's
+forward (SURVEY.md §2.4). The standard eigh VJP contains
+``1/(λ_j - λ_i)`` factors that blow up for (near-)degenerate
+eigenvalues — which *always* occur here, because padded/broken-down
+Lanczos directions contribute exact zero eigenvalues. ``safe_eigh``
+clamps those factors (gradients between degenerate pairs are set to 0,
+the standard Lorentzian-broadening-free guard), keeping AdaLanczosNet
+trainable on padded batches.
+
+The matrices are tiny (K×K with K≈20), so a vmapped dense ``eigh`` is
+already optimal on TPU; there is nothing for a custom kernel to win.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def safe_eigh(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigendecomposition of symmetric ``a [..., K, K]``.
+
+    Returns ``(w [..., K], v [..., K, K])`` with ``a = v diag(w) v^T``,
+    eigenvalues ascending. Differentiable with clamped degenerate terms.
+    """
+    sym = 0.5 * (a + jnp.swapaxes(a, -1, -2))
+    return jnp.linalg.eigh(sym)
+
+
+def _fwd(a):
+    w, v = safe_eigh(a)
+    return (w, v), (w, v)
+
+
+def _bwd(res, grads, eps: float = 1e-6):
+    w, v = res
+    gw, gv = grads
+    if gw is None:
+        gw = jnp.zeros_like(w)
+    if gv is None:
+        gv = jnp.zeros_like(v)
+    vt = jnp.swapaxes(v, -1, -2)
+    diff = w[..., None, :] - w[..., :, None]  # diff[i,j] = w_j - w_i
+    # F_ij = 1/(w_j - w_i) off-diagonal, 0 where (near-)degenerate.
+    safe = jnp.abs(diff) > eps
+    f = jnp.where(safe, 1.0 / jnp.where(safe, diff, 1.0), 0.0)
+    vtgv = jnp.einsum("...ij,...jk->...ik", vt, gv)
+    eye = jnp.eye(w.shape[-1], dtype=w.dtype)
+    core = f * vtgv + gw[..., :, None] * eye
+    ga = jnp.einsum("...ij,...jk,...kl->...il", v, core, vt)
+    ga = 0.5 * (ga + jnp.swapaxes(ga, -1, -2))
+    return (ga,)
+
+
+safe_eigh.defvjp(_fwd, _bwd)
