@@ -1,0 +1,84 @@
+"""Shared model components — the §2.2 (SURVEY.md) contract all 9 models obey.
+
+Every model is a flax module with signature
+
+    pred = model.apply(variables, batch: GraphBatch, deterministic: bool,
+                       rngs={"dropout": ...})   # pred: [B, T]
+
+Construction is from a plain config dict (the YAML `model:` section, same
+key names as the reference configs) via each class's ``from_config``.
+Loss (masked MAE, the reference's nn.L1Loss) lives here as a pure fn so
+`(pred, loss)` parity with the reference forward is a one-liner.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lanczosnet_tpu.core.graph_batch import GraphBatch
+
+
+def mae_loss(pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Mean absolute error over batch and tasks (reference: nn.L1Loss)."""
+    return jnp.mean(jnp.abs(pred - label))
+
+
+def bmm(op: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """[..., N, N] @ [..., N, F] with fp32 MXU accumulation."""
+    return jnp.einsum("...ij,...jf->...if", op, x, preferred_element_type=jnp.float32)
+
+
+class NodeEncoder(nn.Module):
+    """Atom-type embedding ⊕ continuous features → initial node state.
+
+    Mirrors the reference models' `nn.Embedding(num_atom, embed_dim)`
+    plus feature concat; padding (atom_type 0) is zeroed by the mask.
+    """
+
+    num_atom: int
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch) -> jnp.ndarray:
+        h = nn.Embed(self.num_atom, self.embed_dim, name="atom_embed")(
+            batch.atom_type
+        )
+        if batch.node_feat is not None and batch.node_feat.shape[-1] > 0:
+            h = jnp.concatenate([h, batch.node_feat], axis=-1)
+        return h * batch.mask[..., None]
+
+
+class AttentionReadout(nn.Module):
+    """Gated attention pooling → [B, T].
+
+    out = Σ_n mask_n · σ(a(h_n)) · g(h_n), the shared readout of every
+    reference model (SURVEY.md §2.2): scalar sigmoid gate per node times
+    a small MLP head, masked-summed over nodes.
+    """
+
+    num_task: int
+    output_hidden_dim: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        gate = nn.sigmoid(nn.Dense(1, name="att_gate")(h))  # [B, N, 1]
+        out = h
+        for i, d in enumerate(self.output_hidden_dim):
+            out = nn.relu(nn.Dense(d, name=f"out_hidden_{i}")(out))
+        out = nn.Dense(self.num_task, name="out_proj")(out)  # [B, N, T]
+        return jnp.sum(gate * out * mask[..., None], axis=1)
+
+
+class MLP(nn.Module):
+    """Plain ReLU MLP (used for spectral filters and message functions)."""
+
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.features[:-1]):
+            x = nn.relu(nn.Dense(d, name=f"dense_{i}")(x))
+        return nn.Dense(self.features[-1], name=f"dense_{len(self.features) - 1}")(x)

@@ -1,0 +1,60 @@
+"""GraphSAGE — mean-aggregator variant on dense masked adjacency.
+
+Parity with reference `model/graph_sage.py` (SURVEY.md §2.5): per layer,
+mean over each edge type's neighbors (exact mean, recomputed from the
+operator support so it is independent of the stack's normalization),
+concatenated with the self state, Dense, ReLU, L2-normalize.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lanczosnet_tpu.core.graph_batch import GraphBatch
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.ops.masked import l2_normalize
+
+
+class GraphSAGE(nn.Module):
+    num_atom: int
+    embed_dim: int
+    hidden_dim: Sequence[int]
+    num_task: int
+    output_hidden_dim: Sequence[int] = ()
+    dropout: float = 0.0
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "GraphSAGE":
+        return cls(
+            num_atom=cfg["num_atom"],
+            embed_dim=cfg.get("embed_dim", cfg["hidden_dim"][0]),
+            hidden_dim=tuple(cfg["hidden_dim"]),
+            num_task=cfg["num_task"],
+            output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
+            dropout=cfg.get("dropout", 0.0),
+        )
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True) -> jnp.ndarray:
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        b, n = batch.mask.shape
+        support = (batch.ops > 0).astype(h.dtype)  # [B,E,N,N]
+        support = support * batch.pair_mask()[:, None]
+        deg = jnp.sum(support, axis=-1, keepdims=True)
+        mean_op = support / jnp.maximum(deg, 1.0)
+        for li, dim in enumerate(self.hidden_dim):
+            neigh = jnp.einsum(
+                "beij,bjf->beif", mean_op, h, preferred_element_type=jnp.float32
+            )
+            neigh = jnp.moveaxis(neigh, 1, 2).reshape(b, n, -1)
+            h = nn.Dense(dim, name=f"layer_{li}")(
+                jnp.concatenate([h, neigh], axis=-1)
+            )
+            h = nn.relu(h)
+            h = l2_normalize(h, axis=-1)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = h * batch.mask[..., None]
+        return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -1,0 +1,123 @@
+"""LanczosNet — multi-scale spectral graph convolution (arXiv:1901.01484).
+
+Parity with reference `model/lanczos_net.py` (SURVEY.md §2.3):
+
+- **short scales** ``t ∈ short_diffusion_dist``: exact powers ``S^t X``
+  via the diffusion `lax.scan` (channel-0 operator);
+- **long scales** ``t ∈ long_diffusion_dist``: low-rank approximation
+  ``V · diag(f_t(D)) · Vᵀ · X`` from the K precomputed Ritz pairs
+  (``batch.ritz_val/ritz_vec``, produced by ops/lanczos.py in the data
+  pipeline), where ``f_t`` is a learned per-(layer, scale) MLP over
+  Ritz-value features ``[D, D^t]`` (``spectral_filter_kind: MLP``) or
+  the plain power ``D^t`` (ablation, ``spectral_filter_kind: none``);
+- **one-hop per-edge-type terms** from the remaining operator channels;
+- concat ``[X ‖ short ‖ long ‖ per-type]`` → Dense → ReLU → Dropout,
+  then the shared gated-attention readout.
+
+Everything is batched dense matmul: per layer the MXU sees one
+[B,N,N]-powers stream, two [B,N,K] spectral contractions, and one
+[B,E,N,N] one-hop einsum; the K-sized filter MLPs are noise.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lanczosnet_tpu.core.graph_batch import GraphBatch
+from lanczosnet_tpu.models.base import MLP, AttentionReadout, NodeEncoder
+from lanczosnet_tpu.ops.poly import diffusion_features_at
+from lanczosnet_tpu.ops.spectral import long_scale_features
+
+
+class SpectralFilter(nn.Module):
+    """Per-scale learned filters over Ritz values: [B,K] → [B,S,K]."""
+
+    long_dists: Sequence[int]
+    kind: str = "MLP"
+    filter_hidden_dim: int = 16
+
+    @nn.compact
+    def __call__(self, ritz_val: jnp.ndarray) -> jnp.ndarray:
+        outs = []
+        for t in self.long_dists:
+            power = ritz_val**t
+            if self.kind.upper() == "MLP":
+                feat = jnp.stack([ritz_val, power], axis=-1)  # [B,K,2]
+                f = MLP((self.filter_hidden_dim, 1), name=f"filter_t{t}")(feat)
+                outs.append(f[..., 0])
+            else:
+                outs.append(power)
+        return jnp.stack(outs, axis=1)  # [B,S,K]
+
+
+class LanczosNet(nn.Module):
+    num_atom: int
+    embed_dim: int
+    hidden_dim: Sequence[int]
+    num_task: int
+    short_diffusion_dist: Sequence[int] = (1, 2, 3)
+    long_diffusion_dist: Sequence[int] = (5, 7, 10, 20, 30)
+    num_eig_vec: int = 20
+    spectral_filter_kind: str = "MLP"
+    filter_hidden_dim: int = 16
+    output_hidden_dim: Sequence[int] = ()
+    dropout: float = 0.0
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "LanczosNet":
+        return cls(
+            num_atom=cfg["num_atom"],
+            embed_dim=cfg.get("embed_dim", cfg["hidden_dim"][0]),
+            hidden_dim=tuple(cfg["hidden_dim"]),
+            num_task=cfg["num_task"],
+            short_diffusion_dist=tuple(cfg.get("short_diffusion_dist", (1, 2, 3))),
+            long_diffusion_dist=tuple(cfg.get("long_diffusion_dist", (5, 7, 10, 20, 30))),
+            num_eig_vec=cfg.get("num_eig_vec", 20),
+            spectral_filter_kind=cfg.get("spectral_filter_kind", "MLP"),
+            filter_hidden_dim=cfg.get("filter_hidden_dim", 16),
+            output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
+            dropout=cfg.get("dropout", 0.0),
+        )
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, deterministic: bool = True) -> jnp.ndarray:
+        if batch.ritz_val is None or batch.ritz_vec is None:
+            raise ValueError(
+                "LanczosNet needs precomputed Ritz pairs in the batch "
+                "(batch.ritz_val/ritz_vec); enable them in the dataset config "
+                "or use AdaLanczosNet to compute them in-forward."
+            )
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        b, n = batch.mask.shape
+        s_op = batch.ops[:, 0]  # merged-graph operator drives diffusion
+
+        for li, dim in enumerate(self.hidden_dim):
+            parts = [h]
+            if self.short_diffusion_dist:
+                short = diffusion_features_at(s_op, h, tuple(self.short_diffusion_dist))
+                parts.append(jnp.moveaxis(short, 1, 2).reshape(b, n, -1))
+            if self.long_diffusion_dist:
+                filt = SpectralFilter(
+                    tuple(self.long_diffusion_dist),
+                    self.spectral_filter_kind,
+                    self.filter_hidden_dim,
+                    name=f"spectral_filter_{li}",
+                )(batch.ritz_val)
+                long = long_scale_features(batch.ritz_vec, filt, h)
+                parts.append(jnp.moveaxis(long, 1, 2).reshape(b, n, -1))
+            if batch.num_ops > 1:
+                onehop = jnp.einsum(
+                    "beij,bjf->beif",
+                    batch.ops[:, 1:],
+                    h,
+                    preferred_element_type=jnp.float32,
+                )
+                parts.append(jnp.moveaxis(onehop, 1, 2).reshape(b, n, -1))
+            h = nn.Dense(dim, name=f"layer_{li}")(jnp.concatenate(parts, axis=-1))
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = h * batch.mask[..., None]
+        return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

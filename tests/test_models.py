@@ -1,0 +1,149 @@
+"""All nine models: shape contract, padding/permutation invariance,
+finite gradients (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanczosnet_tpu.models import MODEL_REGISTRY, build_model, mae_loss
+
+from helpers import NUM_TASK, make_batch, random_graphs
+
+BASE_CFG = {
+    "num_atom": 8,
+    "hidden_dim": [16, 16],
+    "num_task": NUM_TASK,
+    "output_hidden_dim": [8],
+    "dropout": 0.1,
+    # model-specific knobs (ignored by models that don't use them)
+    "poly_order": 3,
+    "max_hop": 2,
+    "num_heads": 2,
+    "num_prop": 2,
+    "num_eig_vec": 6,
+    "short_diffusion_dist": [1, 2],
+    "long_diffusion_dist": [3, 5],
+    "spectral_filter_kind": "MLP",
+    "kernel_dim": 8,
+}
+
+ALL_MODELS = sorted(MODEL_REGISTRY)
+
+
+def _batch_for(name, rng, **kw):
+    return make_batch(
+        rng,
+        with_ritz=(name == "LanczosNet"),
+        k=BASE_CFG["num_eig_vec"],
+        with_cluster=(name == "GPNN"),
+        **kw,
+    )
+
+
+def _init_and_apply(name, batch, deterministic=True, seed=0):
+    model = build_model({**BASE_CFG, "name": name})
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed)}, batch, deterministic=True
+    )
+    pred = model.apply(
+        variables,
+        batch,
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": jax.random.PRNGKey(1)},
+    )
+    return model, variables, pred
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_forward_shape_and_finite(name):
+    rng = np.random.default_rng(0)
+    batch = _batch_for(name, rng)
+    _, _, pred = _init_and_apply(name, batch)
+    assert pred.shape == (4, NUM_TASK)
+    assert np.isfinite(np.asarray(pred)).all()
+    assert np.isfinite(float(mae_loss(pred, batch.label)))
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_padding_invariance(name):
+    """Extra padding must not change predictions (mask correctness)."""
+    rng = np.random.default_rng(1)
+    graphs = random_graphs(rng, 3)
+    b1 = _batch_for(name, rng, graphs=graphs, n_max=12)
+    b2 = _batch_for(name, rng, graphs=graphs, n_max=20)
+    model = build_model({**BASE_CFG, "name": name})
+    variables = model.init({"params": jax.random.PRNGKey(0)}, b1, deterministic=True)
+    p1 = np.asarray(model.apply(variables, b1, deterministic=True))
+    p2 = np.asarray(model.apply(variables, b2, deterministic=True))
+    np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_gradients_finite(name):
+    rng = np.random.default_rng(2)
+    batch = _batch_for(name, rng)
+    model = build_model({**BASE_CFG, "name": name})
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, deterministic=True)
+
+    def loss_fn(params):
+        pred = model.apply({"params": params}, batch, deterministic=True)
+        return mae_loss(pred, batch.label)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # at least one nonzero gradient
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_permutation_invariance_gcn():
+    """Node relabeling must not change graph-level predictions."""
+    rng = np.random.default_rng(3)
+    graphs = random_graphs(rng, 1, n_lo=8, n_hi=8)
+    g = graphs[0]
+    perm = rng.permutation(8)
+    g2 = {
+        "atom_type": g["atom_type"][perm],
+        "adj": g["adj"][:, perm][:, :, perm],
+        "label": g["label"],
+    }
+    b1 = make_batch(rng, graphs=[g], n_max=10)
+    b2 = make_batch(rng, graphs=[g2], n_max=10)
+    model = build_model({**BASE_CFG, "name": "GCN"})
+    variables = model.init({"params": jax.random.PRNGKey(0)}, b1, deterministic=True)
+    p1 = np.asarray(model.apply(variables, b1, deterministic=True))
+    p2 = np.asarray(model.apply(variables, b2, deterministic=True))
+    np.testing.assert_allclose(p1, p2, atol=1e-4)
+
+
+def test_dropout_stochastic_and_deterministic():
+    rng = np.random.default_rng(4)
+    batch = _batch_for("GCN", rng)
+    model = build_model({**BASE_CFG, "name": "GCN", "dropout": 0.5})
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, deterministic=True)
+    p_det = model.apply(variables, batch, deterministic=True)
+    p_a = model.apply(
+        variables, batch, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    p_b = model.apply(
+        variables, batch, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert not np.allclose(np.asarray(p_a), np.asarray(p_b))
+    np.testing.assert_allclose(
+        np.asarray(p_det),
+        np.asarray(model.apply(variables, batch, deterministic=True)),
+    )
+
+
+def test_lanczosnet_requires_ritz():
+    rng = np.random.default_rng(5)
+    batch = make_batch(rng, with_ritz=False)
+    model = build_model({**BASE_CFG, "name": "LanczosNet"})
+    with pytest.raises(ValueError, match="Ritz"):
+        model.init({"params": jax.random.PRNGKey(0)}, batch, deterministic=True)
+
+
+def test_registry_rejects_unknown():
+    with pytest.raises(KeyError, match="unknown model"):
+        build_model({"name": "NotAModel"})
