@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Headline benchmark: LanczosNet QM8-shape training throughput.
+
+Measures steady-state graphs/sec of the full jitted train step
+(fwd + bwd + Adam update) on the flagship LanczosNet at the reference's
+working point (batch 64, N_max 32, K=20 Ritz pairs, 3×128 hidden,
+short scales [1,2,3], long scales [5,7,10,20,30], 16 tasks) on
+whatever accelerator JAX exposes (the driver runs this on one real TPU
+chip).
+
+Baseline: the reference repo (lrjconan/LanczosNetwork) publishes NO
+throughput numbers and its mount is empty on this box (SURVEY.md §0,
+§6), so ``vs_baseline`` is measured against a faithful same-shape
+PyTorch (CPU) training step implemented below — the closest available
+stand-in for "the PyTorch reference on this box". Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 64
+N = 32
+K = 20
+HID = [128, 128, 128]
+TASKS = 16
+SHORT = [1, 2, 3]
+LONG = [5, 7, 10, 20, 30]
+STEPS = 60
+WARMUP = 5
+
+
+def bench_jax() -> float:
+    import jax
+
+    from lanczosnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from lanczosnet_tpu.data.dataset import pack_dataset
+    from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+    from lanczosnet_tpu.models import build_model
+    from lanczosnet_tpu.train.optim import build_optimizer
+    from lanczosnet_tpu.train.step import init_state, make_train_step
+
+    graphs = synthetic_qm8_graphs(BATCH, seed=0, n_lo=8, n_hi=28)
+    ds = pack_dataset(graphs, n_max=N, num_eig_vec=K, standardize=True)
+    batch = jax.tree.map(
+        jax.device_put, jax.tree.map(np.asarray, ds.slice_batch(np.arange(BATCH)))
+    )
+    valid = jax.device_put(np.ones(BATCH, np.float32))
+
+    model = build_model(
+        {
+            "name": "LanczosNet",
+            "num_atom": 8,
+            "num_task": TASKS,
+            "hidden_dim": HID,
+            "embed_dim": HID[0],
+            "short_diffusion_dist": SHORT,
+            "long_diffusion_dist": LONG,
+            "num_eig_vec": K,
+            "spectral_filter_kind": "MLP",
+            "dropout": 0.1,
+        }
+    )
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+    state = init_state(model, batch, tx, seed=0)
+    step = make_train_step(model, tx)
+
+    for _ in range(WARMUP):
+        state, loss = step(state, batch, valid)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss = step(state, batch, valid)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return STEPS * BATCH / dt
+
+
+def bench_torch_cpu(steps: int = 6) -> float:
+    """Same-shape eager PyTorch-CPU LanczosNet train step (baseline proxy)."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    g = torch.Generator().manual_seed(0)
+    s_op = torch.randn(BATCH, N, N, generator=g) * 0.1
+    s_op = 0.5 * (s_op + s_op.transpose(1, 2))
+    x_idx = torch.randint(1, 8, (BATCH, N), generator=g)
+    d = torch.rand(BATCH, K, generator=g) * 2 - 1
+    v = torch.randn(BATCH, N, K, generator=g) / np.sqrt(N)
+    label = torch.randn(BATCH, TASKS, generator=g)
+    ops_e = torch.randn(BATCH, 4, N, N, generator=g) * 0.1
+
+    class TorchLanczosNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embed = nn.Embedding(8, HID[0])
+            dims = [HID[0]] + HID
+            self.filters = nn.ModuleList()
+            self.layers = nn.ModuleList()
+            for li, h in enumerate(HID):
+                in_dim = dims[li] * (1 + len(SHORT) + len(LONG) + 4)
+                self.layers.append(nn.Linear(in_dim, h))
+                self.filters.append(
+                    nn.ModuleList(
+                        [
+                            nn.Sequential(nn.Linear(2, 16), nn.ReLU(), nn.Linear(16, 1))
+                            for _ in LONG
+                        ]
+                    )
+                )
+            self.att = nn.Linear(HID[-1], 1)
+            self.out = nn.Linear(HID[-1], TASKS)
+
+        def forward(self, idx):
+            h = self.embed(idx)
+            for li, lin in enumerate(self.layers):
+                parts = [h]
+                cur = h
+                for t in range(max(SHORT)):
+                    cur = torch.bmm(s_op, cur)
+                    if (t + 1) in SHORT:
+                        parts.append(cur)
+                vtx = torch.bmm(v.transpose(1, 2), h)
+                for si, t in enumerate(LONG):
+                    feat = torch.stack([d, d**t], -1)
+                    f = self.filters[li][si](feat).squeeze(-1)
+                    parts.append(torch.bmm(v, f.unsqueeze(-1) * vtx))
+                for e in range(4):
+                    parts.append(torch.bmm(ops_e[:, e], h))
+                h = torch.relu(lin(torch.cat(parts, -1)))
+            gate = torch.sigmoid(self.att(h))
+            return (gate * self.out(h)).sum(1)
+
+    model = TorchLanczosNet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    lossf = nn.L1Loss()
+
+    def one_step():
+        opt.zero_grad()
+        loss = lossf(model(x_idx), label)
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return steps * BATCH / dt
+
+
+def main():
+    gps = bench_jax()
+    try:
+        base = bench_torch_cpu()
+    except Exception:
+        base = float("nan")
+    vs = gps / base if base == base and base > 0 else None
+    print(
+        json.dumps(
+            {
+                "metric": "lanczosnet_qm8_train_graphs_per_sec",
+                "value": round(gps, 1),
+                "unit": "graphs/sec (batch 64, N=32, K=20, fwd+bwd+adam)",
+                "vs_baseline": round(vs, 2) if vs else 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Packed fixed-shape datasets — the two-phase design of SURVEY.md §3.5.
+
+Phase 1 (this module, host, one-off): graph dicts → one contiguous set
+of padded numpy arrays (global static ``n_max``), with normalized
+operator stacks, optional precomputed Ritz pairs (the LanczosNet D,V
+the reference computes per-graph with scipy in `utils/data_helper.py`),
+optional GPNN partition assignments, and label-standardization stats.
+Saved as a single ``.npz`` per split.
+
+Phase 2 (data/loader.py, per-step): pure array slicing into device
+batches — no per-batch padding, no Python per-graph work, so the input
+pipeline can never starve the TPU.
+
+Unlike the reference — which pads to the *per-batch* max and re-derives
+masks in `collate_fn` every step — everything variable-shape happens
+exactly once, here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from lanczosnet_tpu.core.graph_batch import GraphBatch, batch_graphs
+from lanczosnet_tpu.ops.lanczos import batched_lanczos_ritz
+from lanczosnet_tpu.ops.normalize import build_operator_stack
+
+
+@dataclass(frozen=True)
+class LabelStats:
+    """Per-task standardization stats; metrics report in original units."""
+
+    mean: np.ndarray  # [T]
+    std: np.ndarray  # [T]
+
+    def standardize(self, y: np.ndarray) -> np.ndarray:
+        return (y - self.mean) / self.std
+
+    def unstandardize_mae(self, mae_std: np.ndarray) -> np.ndarray:
+        """MAE computed on standardized labels → original-unit MAE."""
+        return mae_std * self.std
+
+    @staticmethod
+    def fit(labels: np.ndarray, eps: float = 1e-8) -> "LabelStats":
+        return LabelStats(
+            mean=labels.mean(0),
+            std=np.maximum(labels.std(0), eps),
+        )
+
+
+@dataclass
+class PackedDataset:
+    """A fully padded split resident in host memory as numpy arrays."""
+
+    atom_type: np.ndarray  # [G, N] int32
+    node_feat: np.ndarray  # [G, N, Fc] f32
+    ops: np.ndarray  # [G, E+1, N, N] f32
+    mask: np.ndarray  # [G, N] f32
+    label: np.ndarray  # [G, T] f32 (standardized iff stats is not None)
+    stats: Optional[LabelStats] = None
+    ritz_val: Optional[np.ndarray] = None  # [G, K]
+    ritz_vec: Optional[np.ndarray] = None  # [G, N, K]
+    cluster: Optional[np.ndarray] = None  # [G, N] int32
+
+    def __len__(self) -> int:
+        return self.mask.shape[0]
+
+    @property
+    def n_max(self) -> int:
+        return self.mask.shape[1]
+
+    def slice_batch(self, idx: np.ndarray) -> GraphBatch:
+        """Gather a batch of graph indices into a GraphBatch (numpy)."""
+        return GraphBatch(
+            atom_type=self.atom_type[idx],
+            node_feat=self.node_feat[idx],
+            ops=self.ops[idx],
+            mask=self.mask[idx],
+            label=self.label[idx],
+            ritz_val=None if self.ritz_val is None else self.ritz_val[idx],
+            ritz_vec=None if self.ritz_vec is None else self.ritz_vec[idx],
+            cluster=None if self.cluster is None else self.cluster[idx],
+        )
+
+
+def _chunked_ritz(ops0: np.ndarray, mask: np.ndarray, k: int, chunk: int = 256):
+    """Run the batched Lanczos precompute in fixed-size device chunks.
+
+    Pads the tail chunk so exactly one program is compiled regardless of
+    dataset size (jit caches on shape).
+    """
+    g = ops0.shape[0]
+    vals, vecs = [], []
+    fn = jax.jit(lambda s, m: batched_lanczos_ritz(s, m, k))
+    for lo in range(0, g, chunk):
+        s = ops0[lo : lo + chunk]
+        m = mask[lo : lo + chunk]
+        pad = chunk - s.shape[0]
+        if pad:
+            s = np.concatenate([s, np.zeros((pad,) + s.shape[1:], s.dtype)])
+            m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
+        v, q = fn(s, m)
+        vals.append(np.asarray(v)[: chunk - pad if pad else chunk])
+        vecs.append(np.asarray(q)[: chunk - pad if pad else chunk])
+    return np.concatenate(vals), np.concatenate(vecs)
+
+
+def pack_dataset(
+    graphs: Sequence[dict],
+    n_max: int,
+    operator_kind: str = "sym",
+    num_eig_vec: int = 0,
+    num_cluster: int = 0,
+    stats: Optional[LabelStats] = None,
+    standardize: bool = False,
+) -> PackedDataset:
+    """Graph dicts → PackedDataset.
+
+    Args:
+      graphs: list of graph dicts (see data/qm8.py schema).
+      n_max: global static padding size.
+      operator_kind: "sym" or "row" normalization for the operator stack.
+      num_eig_vec: if >0, precompute K Ritz pairs of the channel-0
+        operator per graph (LanczosNet's D, V).
+      num_cluster: if >0, compute spectral partition assignments (GPNN).
+      stats: reuse existing LabelStats (val/test must reuse train's).
+      standardize: fit (if stats None) and apply label standardization.
+    """
+    host = batch_graphs(list(graphs), n_max)
+    mask = host["mask"].astype(np.float32)
+    ops = np.asarray(
+        build_operator_stack(host["adj"], mask, kind=operator_kind),
+        dtype=np.float32,
+    )
+    label = host["label"]
+    if standardize:
+        if stats is None:
+            stats = LabelStats.fit(label)
+        label = stats.standardize(label).astype(np.float32)
+
+    ritz_val = ritz_vec = cluster = None
+    if num_eig_vec > 0:
+        ritz_val, ritz_vec = _chunked_ritz(ops[:, 0], mask, num_eig_vec)
+    if num_cluster > 0:
+        from lanczosnet_tpu.data.partition import spectral_partition_batch
+
+        cluster = spectral_partition_batch(ops[:, 0], mask, num_cluster)
+
+    return PackedDataset(
+        atom_type=host["atom_type"],
+        node_feat=host["node_feat"],
+        ops=ops,
+        mask=mask,
+        label=label,
+        stats=stats if standardize else stats,
+        ritz_val=ritz_val,
+        ritz_vec=ritz_vec,
+        cluster=cluster,
+    )
+
+
+def save_packed(ds: PackedDataset, path: str | Path) -> None:
+    """Persist a packed split as one compressed npz."""
+    arrays = {
+        "atom_type": ds.atom_type,
+        "node_feat": ds.node_feat,
+        "ops": ds.ops,
+        "mask": ds.mask,
+        "label": ds.label,
+    }
+    for name in ("ritz_val", "ritz_vec", "cluster"):
+        v = getattr(ds, name)
+        if v is not None:
+            arrays[name] = v
+    if ds.stats is not None:
+        arrays["label_mean"] = ds.stats.mean
+        arrays["label_std"] = ds.stats.std
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_packed(path: str | Path) -> PackedDataset:
+    with np.load(path) as z:
+        stats = None
+        if "label_mean" in z:
+            stats = LabelStats(mean=z["label_mean"], std=z["label_std"])
+        return PackedDataset(
+            atom_type=z["atom_type"],
+            node_feat=z["node_feat"],
+            ops=z["ops"],
+            mask=z["mask"],
+            label=z["label"],
+            stats=stats,
+            ritz_val=z["ritz_val"] if "ritz_val" in z else None,
+            ritz_vec=z["ritz_vec"] if "ritz_vec" in z else None,
+            cluster=z["cluster"] if "cluster" in z else None,
+        )

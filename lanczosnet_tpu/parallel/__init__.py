@@ -1,0 +1,6 @@
+from lanczosnet_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicate_sharding,
+    shard_batch,
+)

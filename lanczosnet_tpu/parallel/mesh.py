@@ -1,0 +1,59 @@
+"""Device mesh + sharding rules — the framework's one distributed component.
+
+The reference's only parallelism is single-process multi-GPU
+`torch.nn.DataParallel` with a custom scatter (`utils/data_parallel.py`,
+SURVEY.md §2.6): replicate the model, split the batch, gather losses.
+The TPU-native equivalent needs no replication machinery at all:
+
+- a 1-D ``Mesh`` over all local devices with a ``"data"`` axis,
+- batches sharded ``P("data", …)`` along graphs,
+- params/opt-state replicated (``P()``),
+- `jax.jit` then compiles the train step to SPMD; XLA inserts the
+  gradient all-reduce over ICI. There is no hand-written collective
+  and no scatter/gather code to maintain.
+
+The same code path runs on 1 real TPU chip, a forced-8-device CPU mesh
+(tests, `__graft_entry__.dryrun_multichip`), or a v4-8 slice; multi-host
+extends it with `jax.distributed.initialize()` + `jax.make_mesh` over
+all processes' devices (node-axis sharding for giant graphs is the
+documented extension point, SURVEY.md §5 long-context).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (graph/batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (params, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a (host or device) GraphBatch batch-sharded on the mesh.
+
+    Every leaf's leading axis is the graph axis, so one spec covers the
+    whole pytree. Batch size must divide the mesh size.
+    """
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

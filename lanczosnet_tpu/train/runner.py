@@ -1,0 +1,267 @@
+"""Experiment runner — the L4 layer (SURVEY.md §1, §3.1/§3.4).
+
+Parity with reference `runner/qm8_runner.py`: owns dataset construction,
+model/optimizer build, the epoch loop with per-epoch validation,
+best-on-val + latest checkpointing, resume, and `test()` evaluating a
+snapshot. TPU-first differences:
+
+- the per-batch body is ONE donated jit program (train/step.py), not
+  five eager stages; params never leave the device;
+- data parallelism is a mesh + batch sharding (parallel/mesh.py), not
+  a DataParallel wrapper — the same runner code drives 1 chip or a
+  slice;
+- batches stream through `prefetch_to_device`, overlapping H2D with
+  compute (the reference's DataLoader-worker role);
+- metrics go to both the log and a structured `metrics.jsonl`.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from lanczosnet_tpu.data.dataset import LabelStats, PackedDataset, load_packed, pack_dataset
+from lanczosnet_tpu.data.loader import BatchLoader, prefetch_to_device
+from lanczosnet_tpu.data.qm8 import import_reference_pickles, synthetic_qm8_graphs
+from lanczosnet_tpu.models import build_model
+from lanczosnet_tpu.parallel.mesh import batch_sharding, make_mesh
+from lanczosnet_tpu.train.checkpoint import Checkpointer
+from lanczosnet_tpu.train.optim import build_optimizer
+from lanczosnet_tpu.train.step import init_state, make_eval_step, make_train_step
+from lanczosnet_tpu.utils.cache import enable_compilation_cache
+from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
+
+SPLITS = ("train", "val", "test")
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for d in range(min(n, cap), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+class QM8Runner:
+    """Config-driven molecular-regression experiment."""
+
+    def __init__(self, config):
+        self.config = config
+        self.log = get_logger()
+        enable_compilation_cache()
+        self.run_dir = Path(config.save_dir)
+        self.metrics = MetricsLogger(self.run_dir / "metrics.jsonl")
+        self.ckpt = Checkpointer(self.run_dir)
+
+        dcfg = config.dataset
+        mcfg = dict(config.model)
+        self.num_eig_vec = (
+            int(mcfg.get("num_eig_vec", 20)) if mcfg["name"] == "LanczosNet" else 0
+        )
+        self.num_cluster = (
+            int(mcfg.get("num_partition", 2)) if mcfg["name"] == "GPNN" else 0
+        )
+        self.datasets = self._build_datasets(dcfg)
+        self.stats: Optional[LabelStats] = self.datasets["train"].stats
+
+        mcfg.setdefault("num_atom", int(dcfg.get("num_atom", 8)))
+        mcfg["num_task"] = self.datasets["train"].label.shape[-1]
+        self.model = build_model(mcfg)
+
+        bs = int(config.train.batch_size)
+        ndev = int(config.train.get("num_devices", 0)) or len(jax.devices())
+        self.mesh = make_mesh(_largest_divisor_leq(bs, ndev))
+        self.sharding = batch_sharding(self.mesh)
+        self.log.info(
+            "runner: model=%s devices=%d batch=%d train/val/test=%d/%d/%d n_max=%d",
+            mcfg["name"], self.mesh.size, bs,
+            len(self.datasets["train"]), len(self.datasets["val"]),
+            len(self.datasets["test"]), self.datasets["train"].n_max,
+        )
+
+    # ---------------------------------------------------------------- data
+    def _build_datasets(self, dcfg) -> dict[str, PackedDataset]:
+        """Three packed splits from the configured source.
+
+        Sources: ``synthetic`` (default; deterministic QM8-like graphs,
+        SURVEY.md §7 hard-part 4), ``packed`` (pre-packed npz paths), or
+        ``reference_pickle`` (the reference's per-split pickles).
+        """
+        source = dcfg.get("source", "synthetic")
+        kind = dcfg.get("operator_kind", "sym")
+        n_max = int(dcfg.get("n_max", 32))
+        out: dict[str, PackedDataset] = {}
+        if source == "packed":
+            for s in SPLITS:
+                out[s] = load_packed(dcfg[f"{s}_path"])
+            return out
+        if source == "synthetic":
+            counts = {
+                "train": int(dcfg.get("num_train", 2048)),
+                "val": int(dcfg.get("num_val", 256)),
+                "test": int(dcfg.get("num_test", 256)),
+            }
+            seed0 = int(dcfg.get("seed", 7))
+            raw = {
+                s: synthetic_qm8_graphs(
+                    counts[s], seed=seed0 + i, n_hi=min(n_max, 28)
+                )
+                for i, s in enumerate(SPLITS)
+            }
+        elif source == "reference_pickle":
+            raw = {s: import_reference_pickles(dcfg[f"{s}_path"]) for s in SPLITS}
+        else:
+            raise ValueError(f"unknown dataset source {source!r}")
+        stats = None
+        for s in SPLITS:
+            out[s] = pack_dataset(
+                raw[s],
+                n_max=n_max,
+                operator_kind=kind,
+                num_eig_vec=self.num_eig_vec,
+                num_cluster=self.num_cluster,
+                stats=stats,
+                standardize=bool(dcfg.get("standardize", True)),
+            )
+            stats = out[s].stats or stats
+        return out
+
+    def _loader(self, split: str, shuffle: bool, drop_last: bool) -> BatchLoader:
+        return BatchLoader(
+            self.datasets[split],
+            batch_size=int(self.config.train.batch_size),
+            shuffle=shuffle,
+            drop_last=drop_last,
+            seed=int(self.config.seed),
+        )
+
+    # ---------------------------------------------------------------- eval
+    def _evaluate(self, eval_step, params, split: str) -> np.ndarray:
+        """Exact per-task MAE (original label units) over a split."""
+        loader = self._loader(split, shuffle=False, drop_last=False)
+        err_sum = 0.0
+        count = 0.0
+        for batch, valid in prefetch_to_device(loader.epoch(), self.sharding):
+            e, c = eval_step(params, batch, valid)
+            err_sum = err_sum + e
+            count = count + c
+        mae = np.asarray(err_sum) / np.maximum(np.asarray(count), 1.0)
+        if self.stats is not None:
+            mae = self.stats.unstandardize_mae(mae)
+        return mae
+
+    # ---------------------------------------------------------------- train
+    def train(self) -> dict:
+        cfg = self.config
+        tcfg = cfg.train
+        train_loader = self._loader("train", shuffle=bool(tcfg.get("shuffle", True)),
+                                    drop_last=True)
+        steps_per_epoch = max(len(train_loader), 1)
+        tx, schedule = build_optimizer(tcfg, steps_per_epoch)
+        train_step = make_train_step(self.model, tx)
+        eval_step = make_eval_step(self.model)
+
+        example, example_valid = next(iter(train_loader.epoch()))
+        example = jax.tree.map(lambda x: jax.device_put(x, self.sharding), example)
+        state = init_state(self.model, example, tx, seed=int(cfg.seed))
+
+        start_epoch = 0
+        if tcfg.get("is_resume") and self.ckpt.exists("latest"):
+            state = self.ckpt.restore("latest", state)
+            meta = self.ckpt.meta("latest") or {}
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            self.log.info("resumed from epoch %d", start_epoch)
+        elif tcfg.get("resume_model"):
+            state = Checkpointer.restore_file(tcfg["resume_model"], state)
+            self.log.info("warm-started from %s", tcfg["resume_model"])
+
+        best_val = float("inf")
+        display_iter = int(tcfg.get("display_iter", 50))
+        valid_every = int(tcfg.get("valid_epoch", 1))
+        max_epoch = int(tcfg.get("max_epoch", 10))
+
+        for epoch in range(start_epoch, max_epoch):
+            t0 = time.perf_counter()
+            losses = []
+            for it, (batch, valid) in enumerate(
+                prefetch_to_device(train_loader.epoch(), self.sharding)
+            ):
+                state, loss = train_step(state, batch, valid)
+                if (it + 1) % display_iter == 0:
+                    lv = float(loss)
+                    losses.append(lv)
+                    step = int(state.step)
+                    self.log.info(
+                        "epoch %d it %d | loss %.6f | lr %.2e",
+                        epoch, it + 1, lv, float(schedule(step)),
+                    )
+                    self.metrics.log("train", epoch=epoch, step=step, loss=lv)
+            jax.block_until_ready(state.params)
+            epoch_time = time.perf_counter() - t0
+            gps = steps_per_epoch * int(tcfg.batch_size) / epoch_time
+            self.metrics.log(
+                "epoch", epoch=epoch, epoch_time_s=epoch_time, graphs_per_sec=gps
+            )
+
+            if (epoch + 1) % valid_every == 0 or epoch == max_epoch - 1:
+                val_mae = self._evaluate(eval_step, state.params, "val")
+                mean_mae = float(val_mae.mean())
+                self.log.info(
+                    "epoch %d | val MAE %.6f | %.1f graphs/s | %.2fs/epoch",
+                    epoch, mean_mae, gps, epoch_time,
+                )
+                self.metrics.log(
+                    "val", epoch=epoch, mae=mean_mae, per_task=val_mae.tolist()
+                )
+                if mean_mae < best_val:
+                    best_val = mean_mae
+                    self.ckpt.save(
+                        "best", state, {"epoch": epoch, "val_mae": mean_mae}
+                    )
+            self.ckpt.save("latest", state, {"epoch": epoch})
+
+        test_mae = None
+        if self.ckpt.exists("best"):
+            state = self.ckpt.restore("best", state)
+            test_mae = float(self._evaluate(eval_step, state.params, "test").mean())
+            self.log.info("best val %.6f | test MAE %.6f", best_val, test_mae)
+            self.metrics.log("test", mae=test_mae, best_val=best_val)
+        return {"best_val_mae": best_val, "test_mae": test_mae}
+
+    # ---------------------------------------------------------------- test
+    def test(self) -> dict:
+        """Evaluate a snapshot (config.test.test_model) on the test split."""
+        tcfg = self.config.get("test", {})
+        eval_step = make_eval_step(self.model)
+        loader = self._loader("test", shuffle=False, drop_last=False)
+        batch, _ = next(iter(loader.epoch()))
+        batch = jax.tree.map(lambda x: jax.device_put(x, self.sharding), batch)
+        tx, _ = build_optimizer(self.config.train, 1)
+        state = init_state(self.model, batch, tx, seed=int(self.config.seed))
+        path = tcfg.get("test_model")
+        if path:
+            state = Checkpointer.restore_file(path, state)
+        elif self.ckpt.exists("best"):
+            state = self.ckpt.restore("best", state)
+        else:
+            raise FileNotFoundError(
+                "no checkpoint: set test.test_model or train first"
+            )
+        mae = self._evaluate(eval_step, state.params, "test")
+        mean = float(mae.mean())
+        self.log.info("test MAE %.6f (per-task %s)", mean, np.round(mae, 6).tolist())
+        self.metrics.log("test", mae=mean, per_task=mae.tolist())
+        return {"test_mae": mean, "per_task": mae.tolist()}
+
+
+RUNNER_REGISTRY = {"QM8Runner": QM8Runner}
+
+
+def build_runner(config):
+    name = config.get("runner", "QM8Runner")
+    if name not in RUNNER_REGISTRY:
+        raise KeyError(f"unknown runner {name!r}; available: {sorted(RUNNER_REGISTRY)}")
+    return RUNNER_REGISTRY[name](config)

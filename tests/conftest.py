@@ -1,15 +1,21 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Tests never touch the real TPU — they run on CPU with
-``xla_force_host_platform_device_count=8`` so the data-parallel mesh
-path is exercised exactly as SURVEY.md §4 prescribes (the TPU-world
-analog of a fake distributed backend). Must run before jax import.
+Tests never touch the real TPU — they run on CPU with 8 virtual
+devices so the data-parallel mesh path is exercised exactly as
+SURVEY.md §4 prescribes (the TPU-world analog of a fake distributed
+backend).
+
+NOTE: a pytest plugin on this image imports jax before conftest runs,
+so env vars (JAX_PLATFORMS / XLA_FLAGS) are read too late — we use
+`jax.config.update`, which works any time before first backend init.
 """
 
 import os
 import sys
 
+# belt-and-braces for subprocesses spawned by tests
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
@@ -20,4 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu" and len(jax.devices()) == 8

@@ -1,0 +1,76 @@
+"""Mesh data-parallel tests on the forced-8-device CPU mesh
+(SURVEY.md §4: the TPU-world fake-backend analog)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lanczosnet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_sharding,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the forced 8-device CPU mesh"
+)
+
+
+def test_mesh_and_batch_sharding():
+    mesh = make_mesh(8)
+    assert mesh.size == 8
+    x = jnp.arange(16.0).reshape(16, 1)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_sharded_train_step_matches_single_device():
+    """DP over 8 devices must give the same loss/params as 1 device."""
+    from lanczosnet_tpu.train.optim import build_optimizer
+    from lanczosnet_tpu.train.step import init_state, make_train_step
+    from tests.test_train import tiny_batch, tiny_model
+
+    model = tiny_model()
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+    step = make_train_step(model, tx)
+    batch = jax.tree.map(jnp.asarray, tiny_batch(num=16, n_max=10))
+    valid = jnp.ones(16)
+
+    # single device
+    s1 = init_state(model, batch, tx, seed=0)
+    s1, loss1 = step(s1, batch, valid)
+
+    # 8-device mesh
+    mesh = make_mesh(8)
+    bsh, rsh = batch_sharding(mesh), replicate_sharding(mesh)
+    sb = shard_batch(batch, mesh)
+    sv = jax.device_put(valid, bsh)
+    s8 = init_state(model, batch, tx, seed=0)
+    s8 = jax.tree.map(lambda x: jax.device_put(x, rsh), s8)
+    s8, loss8 = step(s8, sb, sv)
+
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        jax.device_get(s1.params),
+        jax.device_get(s8.params),
+    )
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,185 @@
+"""Training-stack tests: jitted step, overfit, checkpoint round-trip,
+runner end-to-end, resume (SURVEY.md §4 integration plan)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lanczosnet_tpu.data.dataset import pack_dataset
+from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+from lanczosnet_tpu.models import build_model
+from lanczosnet_tpu.train.checkpoint import Checkpointer
+from lanczosnet_tpu.train.optim import build_optimizer
+from lanczosnet_tpu.train.runner import build_runner
+from lanczosnet_tpu.train.step import (
+    init_state,
+    make_eval_step,
+    make_train_step,
+    weighted_mae,
+)
+from lanczosnet_tpu.utils.config import AttrDict
+
+
+def tiny_model(name="GCN", **kw):
+    cfg = {
+        "name": name,
+        "num_atom": 8,
+        "num_task": 16,
+        "hidden_dim": [32, 32],
+        "embed_dim": 32,
+        **kw,
+    }
+    return build_model(cfg)
+
+
+def tiny_batch(num=8, n_max=10, num_eig_vec=0):
+    graphs = synthetic_qm8_graphs(num, seed=0, n_lo=4, n_hi=n_max - 2)
+    ds = pack_dataset(graphs, n_max=n_max, num_eig_vec=num_eig_vec,
+                      standardize=True)
+    return ds.slice_batch(np.arange(num))
+
+
+def test_weighted_mae_ignores_ghosts():
+    pred = jnp.ones((4, 3))
+    label = jnp.zeros((4, 3))
+    valid = jnp.array([1.0, 1.0, 0.0, 0.0])
+    assert float(weighted_mae(pred, label, valid)) == pytest.approx(1.0)
+    # ghost rows with huge error change nothing
+    pred2 = pred.at[2:].set(1e6)
+    assert float(weighted_mae(pred2, label, valid)) == pytest.approx(1.0)
+
+
+def test_overfit_two_graphs():
+    """2-graph overfit (SURVEY.md §4): loss must collapse."""
+    model = tiny_model()
+    batch = tiny_batch(num=2, n_max=8)
+    batch = jax.tree.map(jnp.asarray, batch)
+    valid = jnp.ones(2)
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 3e-3}, 1)
+    state = init_state(model, batch, tx, seed=0)
+    step = make_train_step(model, tx)
+    first = None
+    for i in range(200):
+        state, loss = step(state, batch, valid)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.1 * first, (first, float(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = tiny_model()
+    batch = jax.tree.map(jnp.asarray, tiny_batch(num=4))
+    valid = jnp.ones(4)
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+    state = init_state(model, batch, tx, seed=0)
+    step = make_train_step(model, tx)
+    state, _ = step(state, batch, valid)
+
+    ck = Checkpointer(tmp_path)
+    ck.save("best", state, {"epoch": 0, "val_mae": 0.5})
+    state2 = init_state(model, batch, tx, seed=99)  # different init
+    state2 = ck.restore("best", state2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        jax.device_get(state.params),
+        jax.device_get(state2.params),
+    )
+    assert int(state2.step) == 1
+    assert ck.meta("best")["val_mae"] == 0.5
+    # eval parity after restore
+    ev = make_eval_step(model)
+    e1, _ = ev(state.params, batch, valid)
+    e2, _ = ev(state2.params, batch, valid)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-6)
+
+
+def _runner_config(tmp_path, model_name, **model_kw):
+    return AttrDict.convert(
+        {
+            "exp_name": f"t_{model_name}",
+            "runner": "QM8Runner",
+            "seed": 0,
+            "save_dir": str(tmp_path / model_name),
+            "dataset": {
+                "source": "synthetic",
+                "n_max": 12,
+                "num_atom": 8,
+                "num_train": 32,
+                "num_val": 16,
+                "num_test": 16,
+                "standardize": True,
+            },
+            "model": {
+                "name": model_name,
+                "hidden_dim": [32],
+                "embed_dim": 32,
+                **model_kw,
+            },
+            "train": {
+                "optimizer": "Adam",
+                "lr": 1e-3,
+                "batch_size": 8,
+                "max_epoch": 2,
+                "display_iter": 100,
+                "valid_epoch": 1,
+                "shuffle": True,
+            },
+            "test": {},
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("GCN", {}),
+        ("LanczosNet", {"num_eig_vec": 4, "short_diffusion_dist": [1, 2],
+                        "long_diffusion_dist": [3, 5]}),
+        ("GPNN", {"num_partition": 2}),
+    ],
+)
+def test_runner_end_to_end(tmp_path, name, kw):
+    import pathlib
+
+    cfg = _runner_config(tmp_path, name, **kw)
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    runner = build_runner(cfg)
+    result = runner.train()
+    assert np.isfinite(result["best_val_mae"])
+    assert result["test_mae"] is not None
+    # test() path restores the best snapshot
+    result2 = runner.test()
+    assert result2["test_mae"] == pytest.approx(result["test_mae"], rel=1e-5)
+
+
+def test_runner_resume(tmp_path):
+    import pathlib
+
+    cfg = _runner_config(tmp_path, "GCN")
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    runner = build_runner(cfg)
+    runner.train()
+    cfg2 = _runner_config(tmp_path, "GCN")
+    cfg2.save_dir = cfg.save_dir
+    cfg2.train.is_resume = True
+    cfg2.train.max_epoch = 3
+    runner2 = build_runner(cfg2)
+    result = runner2.train()  # must start at epoch 2, not crash
+    assert np.isfinite(result["best_val_mae"])
+
+
+def test_sgd_momentum_and_lr_decay():
+    tx, sched = build_optimizer(
+        {"optimizer": "SGD", "lr": 0.1, "momentum": 0.9, "lr_decay": 0.1,
+         "lr_decay_epoch": [2, 4]},
+        steps_per_epoch=10,
+    )
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(25)) == pytest.approx(0.01)
+    assert float(sched(45)) == pytest.approx(0.001)
+    params = {"w": jnp.ones(3)}
+    st = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    up, st = tx.update(g, st, params)
+    np.testing.assert_allclose(np.asarray(up["w"]), -0.1 * np.ones(3), rtol=1e-6)
