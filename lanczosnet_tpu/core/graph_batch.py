@@ -50,6 +50,9 @@ class GraphBatch:
       ritz_vec: optional ``[B, N, K]`` — precomputed Ritz vectors.
       cluster: optional ``[B, N]`` int32 — partition assignment (GPNN),
         -1 for padding.
+      node_label: optional ``[B, N]`` int32 — per-node class labels for
+        full-graph node classification (citation configs); which nodes
+        are supervised is a separate mask passed to the loss.
     """
 
     atom_type: Array
@@ -60,6 +63,7 @@ class GraphBatch:
     ritz_val: Optional[Array] = None
     ritz_vec: Optional[Array] = None
     cluster: Optional[Array] = None
+    node_label: Optional[Array] = None
 
     @property
     def batch_size(self) -> int:

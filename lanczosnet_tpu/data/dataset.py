@@ -95,7 +95,9 @@ def _chunked_ritz(ops0: np.ndarray, mask: np.ndarray, k: int, chunk: int = 256):
     """
     g = ops0.shape[0]
     vals, vecs = [], []
-    fn = jax.jit(lambda s, m: batched_lanczos_ritz(s, m, k))
+    from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
+
+    fn = jax.jit(lambda s, m: batched_lanczos_ritz_dispatch(s, m, k))
     for lo in range(0, g, chunk):
         s = ops0[lo : lo + chunk]
         m = mask[lo : lo + chunk]
@@ -117,6 +119,7 @@ def pack_dataset(
     num_cluster: int = 0,
     stats: Optional[LabelStats] = None,
     standardize: bool = False,
+    use_native: bool = True,
 ) -> PackedDataset:
     """Graph dicts → PackedDataset.
 
@@ -129,14 +132,41 @@ def pack_dataset(
       num_cluster: if >0, compute spectral partition assignments (GPNN).
       stats: reuse existing LabelStats (val/test must reuse train's).
       standardize: fit (if stats None) and apply label standardization.
+      use_native: pad+normalize through the multithreaded C++ packer
+        (data/native.py) when available; numpy+jnp fallback otherwise.
     """
-    host = batch_graphs(list(graphs), n_max)
-    mask = host["mask"].astype(np.float32)
-    ops = np.asarray(
-        build_operator_stack(host["adj"], mask, kind=operator_kind),
-        dtype=np.float32,
-    )
-    label = host["label"]
+    graphs = list(graphs)
+    packed = None
+    if use_native and graphs:
+        from lanczosnet_tpu.data import native
+
+        packed = native.pack_arrays(graphs, n_max, kind=operator_kind)
+    if packed is not None:
+        atom_type, ops, mask = (
+            packed["atom_type"], packed["ops"], packed["mask"],
+        )
+        label = np.stack(
+            [np.asarray(g["label"], np.float32) for g in graphs]
+        )
+        fc = (
+            graphs[0].get("node_feat").shape[-1]
+            if graphs[0].get("node_feat") is not None
+            else 0
+        )
+        node_feat = np.zeros((len(graphs), n_max, fc), np.float32)
+        if fc:
+            for i, g in enumerate(graphs):
+                nf = np.asarray(g["node_feat"], np.float32)
+                node_feat[i, : nf.shape[0]] = nf
+        host = {"atom_type": atom_type, "node_feat": node_feat}
+    else:
+        host = batch_graphs(graphs, n_max)
+        mask = host["mask"].astype(np.float32)
+        ops = np.asarray(
+            build_operator_stack(host["adj"], mask, kind=operator_kind),
+            dtype=np.float32,
+        )
+        label = host["label"]
     if standardize:
         if stats is None:
             stats = LabelStats.fit(label)

@@ -28,9 +28,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.models.lanczos_net import SpectralFilter
-from lanczosnet_tpu.ops.lanczos import batched_lanczos_ritz
+from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
 from lanczosnet_tpu.ops.normalize import sym_normalize
 from lanczosnet_tpu.ops.poly import diffusion_features_at
 from lanczosnet_tpu.ops.spectral import long_scale_features
@@ -50,6 +50,8 @@ class AdaLanczosNet(nn.Module):
     filter_hidden_dim: int = 16
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    lanczos_impl: str = "auto"  # auto | pallas | scan (ops/lanczos_pallas.py)
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "AdaLanczosNet":
@@ -67,6 +69,8 @@ class AdaLanczosNet(nn.Module):
             filter_hidden_dim=cfg.get("filter_hidden_dim", 16),
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            lanczos_impl=cfg.get("lanczos_impl", "auto"),
+            task=cfg.get("task", "graph"),
         )
 
     def _learned_operator(self, emb: jnp.ndarray, batch: GraphBatch) -> jnp.ndarray:
@@ -93,8 +97,8 @@ class AdaLanczosNet(nn.Module):
         emb = nn.Dense(self.kernel_dim, name="kernel_embed")(h)
         emb = emb * batch.mask[..., None]
         s_op = self._learned_operator(emb, batch)
-        ritz_val, ritz_vec = batched_lanczos_ritz(
-            s_op, batch.mask, self.num_eig_vec
+        ritz_val, ritz_vec = batched_lanczos_ritz_dispatch(
+            s_op, batch.mask, self.num_eig_vec, impl=self.lanczos_impl
         )
 
         for li, dim in enumerate(self.hidden_dim):
@@ -123,4 +127,6 @@ class AdaLanczosNet(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

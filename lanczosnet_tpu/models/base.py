@@ -72,6 +72,26 @@ class AttentionReadout(nn.Module):
         return jnp.sum(gate * out * mask[..., None], axis=1)
 
 
+class NodeHead(nn.Module):
+    """Per-node classification head → [B, N, C] logits.
+
+    The citation-config (full-graph node classification) counterpart of
+    AttentionReadout: same optional hidden stack, but no pooling — each
+    node keeps its own logits, padded nodes zeroed.
+    """
+
+    num_task: int
+    output_hidden_dim: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        out = h
+        for i, d in enumerate(self.output_hidden_dim):
+            out = nn.relu(nn.Dense(d, name=f"out_hidden_{i}")(out))
+        out = nn.Dense(self.num_task, name=f"node_proj")(out)
+        return out * mask[..., None]
+
+
 class MLP(nn.Module):
     """Plain ReLU MLP (used for spectral filters and message functions)."""
 

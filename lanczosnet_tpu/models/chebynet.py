@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import chebyshev_features
 
 
@@ -29,6 +29,7 @@ class ChebyNet(nn.Module):
     poly_order: int = 3
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "ChebyNet":
@@ -40,6 +41,7 @@ class ChebyNet(nn.Module):
             poly_order=cfg.get("poly_order", 3),
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -58,4 +60,6 @@ class ChebyNet(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import diffusion_features
 
 
@@ -28,6 +28,7 @@ class DCNN(nn.Module):
     max_hop: int = 3
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "DCNN":
@@ -39,6 +40,7 @@ class DCNN(nn.Module):
             max_hop=cfg.get("max_hop", 3),
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -59,4 +61,6 @@ class DCNN(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

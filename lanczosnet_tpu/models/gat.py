@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.masked import masked_softmax
 
 
@@ -63,6 +63,7 @@ class GAT(nn.Module):
     num_heads: int = 4
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "GAT":
@@ -74,6 +75,7 @@ class GAT(nn.Module):
             num_heads=cfg.get("num_heads", 4),
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -88,4 +90,6 @@ class GAT(nn.Module):
             h = nn.elu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 
 
 class GCN(nn.Module):
@@ -26,6 +26,7 @@ class GCN(nn.Module):
     num_task: int
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "GCN":
@@ -36,6 +37,7 @@ class GCN(nn.Module):
             num_task=cfg["num_task"],
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -53,4 +55,6 @@ class GCN(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

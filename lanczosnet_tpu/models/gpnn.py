@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 
 
 class GPNN(nn.Module):
@@ -32,6 +32,7 @@ class GPNN(nn.Module):
     num_prop: int = 2  # intra/inter alternations per layer
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "GPNN":
@@ -43,6 +44,7 @@ class GPNN(nn.Module):
             num_prop=cfg.get("num_prop", 2),
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -73,4 +75,6 @@ class GPNN(nn.Module):
                 h = nn.relu(nn.Dense(dim, name=f"inter_{li}_{p}")(z))
                 h = h * batch.mask[..., None]
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

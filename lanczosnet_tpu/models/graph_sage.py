@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.masked import l2_normalize
 
 
@@ -25,6 +25,7 @@ class GraphSAGE(nn.Module):
     num_task: int
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "GraphSAGE":
@@ -35,6 +36,7 @@ class GraphSAGE(nn.Module):
             num_task=cfg["num_task"],
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -57,4 +59,6 @@ class GraphSAGE(nn.Module):
             h = l2_normalize(h, axis=-1)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import MLP, AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, MLP, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import diffusion_features_at
 from lanczosnet_tpu.ops.spectral import long_scale_features
 
@@ -65,6 +65,7 @@ class LanczosNet(nn.Module):
     filter_hidden_dim: int = 16
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LanczosNet":
@@ -80,6 +81,7 @@ class LanczosNet(nn.Module):
             filter_hidden_dim=cfg.get("filter_hidden_dim", 16),
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -120,4 +122,6 @@ class LanczosNet(nn.Module):
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

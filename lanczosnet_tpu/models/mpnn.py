@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder
+from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
 
 
 class MPNN(nn.Module):
@@ -28,6 +28,7 @@ class MPNN(nn.Module):
     num_prop: int = 3
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
+    task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "MPNN":
@@ -38,6 +39,7 @@ class MPNN(nn.Module):
             num_prop=cfg.get("num_prop", 3),
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
+            task=cfg.get("task", "graph"),
         )
 
     @nn.compact
@@ -75,4 +77,6 @@ class MPNN(nn.Module):
 
         h, _ = jax.lax.scan(step, h, None, length=self.num_prop)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        if self.task == "node":
+            return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

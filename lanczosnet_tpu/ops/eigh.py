@@ -56,3 +56,20 @@ def _bwd(res, grads, eps: float = 1e-6):
 
 
 safe_eigh.defvjp(_fwd, _bwd)
+
+
+def eigh_dispatch(a: jnp.ndarray, impl: str = "auto"):
+    """Select the symmetric eigensolver.
+
+    "auto" uses the batched Jacobi sweeps (`ops/jacobi.py`) on TPU —
+    XLA's QR-iteration eigh dominates the Ritz path there (measured
+    ~17 ms of 19.5 ms at B=256, K=20) — and LAPACK-path `safe_eigh`
+    elsewhere. Both share the same degeneracy-clamped VJP.
+    """
+    if impl == "auto":
+        impl = "jacobi" if jax.default_backend() == "tpu" else "lapack"
+    if impl == "jacobi":
+        from lanczosnet_tpu.ops.jacobi import jacobi_eigh
+
+        return jacobi_eigh(a)
+    return safe_eigh(a)

@@ -41,7 +41,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from lanczosnet_tpu.ops.eigh import safe_eigh
+from lanczosnet_tpu.ops.eigh import eigh_dispatch
 
 
 def _norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -125,7 +125,7 @@ def lanczos_ritz(
     """
     alphas, betas, q = lanczos_tridiag(s, mask, k, eps)
     t = tridiag_matrix(alphas, betas)
-    ritz_val, u = safe_eigh(t)
+    ritz_val, u = eigh_dispatch(t)
     ritz_vec = q.T @ u  # [N, k]
     return ritz_val, ritz_vec
 

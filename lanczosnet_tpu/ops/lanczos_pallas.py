@@ -37,15 +37,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lanczosnet_tpu.ops.eigh import safe_eigh
+from lanczosnet_tpu.ops.eigh import eigh_dispatch
 from lanczosnet_tpu.ops.lanczos import batched_lanczos_ritz, tridiag_matrix
 
-G_TILE = 8  # graphs per program; VMEM use ≈ G·N²·4B ≪ 16MB for molecular N
+_VMEM_BUDGET = 6 * 1024 * 1024  # bytes of VMEM we allow the S tile to take
+
+
+def _pick_tile(b: int, n: int) -> int:
+    """Graphs per program. Mosaic requires the alpha/beta output block's
+    lane dim (graphs) to be 128-divisible or span the whole array, so
+    the tile is either ALL graphs (one program; molecular problems fit
+    VMEM easily) or 128 (grid over 128-graph tiles)."""
+    if b * n * n * 4 <= _VMEM_BUDGET:
+        return b
+    return 128
 
 
 def _lanczos_kernel(s_ref, mask_ref, alpha_ref, beta_ref, q_ref, *, k: int,
                     eps: float):
-    """One tile: s [G,N,N], mask [G,N] → alphas [G,K], betas [G,K], q [G,K,N]."""
+    """One tile: s [G,N,N], mask [G,N] → alphas [K,G], betas [K,G], q [G,K,N].
+
+    alpha/beta are laid out ``[K, G]`` (step index on the *sublane* axis)
+    because Mosaic only supports dynamically-indexed stores on sublanes,
+    not lanes; the host wrapper transposes them back. q's dynamic step
+    index also lands on a sublane axis ([G, K, N] → K is sublane).
+    """
     s = s_ref[:]  # [G, N, N]
     mask = mask_ref[:]  # [G, N]
     g, n = mask.shape
@@ -57,12 +73,12 @@ def _lanczos_kernel(s_ref, mask_ref, alpha_ref, beta_ref, q_ref, *, k: int,
 
     q_ref[:] = jnp.zeros((g, k, n), jnp.float32)
     q_ref[:, 0, :] = q0
-    alpha_ref[:] = jnp.zeros((g, k), jnp.float32)
-    beta_ref[:] = jnp.zeros((g, k), jnp.float32)
+    alpha_ref[:] = jnp.zeros((k, g), jnp.float32)
+    beta_ref[:] = jnp.zeros((k, g), jnp.float32)
 
     def step(j, carry):
         beta_prev, q_prev = carry  # [G,1], [G,N]
-        q_j = q_ref[:, j, :]  # dynamic index on leading-of-middle is fine
+        q_j = q_ref[:, j, :]  # dynamic sublane read
         # w = S q_j  (VPU: broadcast-multiply + lane reduce)
         w = jnp.sum(s * q_j[:, None, :], axis=-1)  # [G, N]
         alpha = jnp.sum(q_j * w, axis=-1, keepdims=True)  # [G, 1]
@@ -78,8 +94,8 @@ def _lanczos_kernel(s_ref, mask_ref, alpha_ref, beta_ref, q_ref, *, k: int,
         valid = (beta > eps).astype(jnp.float32)  # [G, 1]
         q_next = valid * w / beta
 
-        alpha_ref[:, j] = alpha[:, 0]
-        beta_ref[:, j] = (beta * valid)[:, 0]
+        alpha_ref[j, :] = alpha[:, 0]
+        beta_ref[j, :] = (beta * valid)[:, 0]
 
         @pl.when(j + 1 < k)
         def _():
@@ -103,7 +119,8 @@ def lanczos_tridiag_pallas(
     """Batched tridiagonalization: s [B,N,N], mask [B,N] →
     (alphas [B,k], betas [B,k-1], q [B,k,N])."""
     b, n, _ = s.shape
-    pad = (-b) % G_TILE
+    g_tile = _pick_tile(b, n)
+    pad = (-b) % g_tile
     if pad:
         s = jnp.concatenate([s, jnp.zeros((pad, n, n), s.dtype)])
         mask = jnp.concatenate([mask, jnp.zeros((pad, n), mask.dtype)])
@@ -111,36 +128,39 @@ def lanczos_tridiag_pallas(
 
     alphas, betas, q = pl.pallas_call(
         partial(_lanczos_kernel, k=k, eps=eps),
-        grid=(bp // G_TILE,),
+        grid=(bp // g_tile,),
         in_specs=[
-            pl.BlockSpec((G_TILE, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((g_tile, n, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_TILE, n), lambda i: (i, 0),
+            pl.BlockSpec((g_tile, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G_TILE, k), lambda i: (i, 0),
+            pl.BlockSpec((k, g_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_TILE, k), lambda i: (i, 0),
+            pl.BlockSpec((k, g_tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_TILE, k, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((g_tile, k, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, k), jnp.float32),
-            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, bp), jnp.float32),
+            jax.ShapeDtypeStruct((k, bp), jnp.float32),
             jax.ShapeDtypeStruct((bp, k, n), jnp.float32),
         ],
         interpret=interpret,
     )(s.astype(jnp.float32), mask.astype(jnp.float32))
+    alphas = alphas.T
+    betas = betas.T
     return alphas[:b], betas[:b, : k - 1], q[:b]
 
 
 def _ritz_from_tridiag(alphas, betas, q):
     """(alphas [B,k], betas [B,k-1], q [B,k,N]) → (vals [B,k], vecs [B,N,k])."""
     t = jax.vmap(tridiag_matrix)(alphas, betas)
-    vals, u = safe_eigh(t)
-    vecs = jnp.einsum("bkn,bku->bnu", q, u, preferred_element_type=jnp.float32)
+    vals, u = eigh_dispatch(t)
+    vecs = jnp.einsum("bkn,bku->bnu", q, u, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return vals, vecs
 
 
@@ -169,3 +189,23 @@ def _fast_bwd(k, eps, res, g):
 
 
 batched_lanczos_ritz_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+def batched_lanczos_ritz_dispatch(
+    s: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    eps: float = 1e-6,
+    impl: str = "auto",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Select the Lanczos implementation.
+
+    "auto": the fused Pallas kernel on TPU, the `lax.scan` reference
+    everywhere else (CPU interpret-mode Pallas would be slower, and the
+    scan is the correctness baseline). "pallas"/"scan" force a path.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if impl == "pallas":
+        return batched_lanczos_ritz_fast(s, mask, k, eps)
+    return batched_lanczos_ritz(s, mask, k, eps)

@@ -57,3 +57,27 @@ def shard_batch(batch, mesh: Mesh):
     """
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_full_graph(batch, mesh: Mesh, n_pad: int):
+    """Node-axis sharding for a B=1 full-graph batch (citation configs).
+
+    This is the SURVEY.md §5 "long-context" analog for graphs: instead
+    of sharding over graphs, the single graph's *node* axis is sharded —
+    operator rows across devices, node arrays alongside; XLA inserts the
+    all-gather/reduce for the ``S·X`` and ``Vᵀ·X`` contractions over
+    ICI. ``n_pad`` (the padded node count, which identifies the node
+    axis on every leaf) must divide the mesh size —
+    `data.citation.pack_citation(pad_to=mesh.size)` guarantees it.
+    """
+
+    def spec(x):
+        if x.ndim == 4 and x.shape[2] == n_pad:  # ops [1,E,N,N]: shard rows
+            return P(None, None, DATA_AXIS, None)
+        if x.ndim >= 2 and x.shape[1] == n_pad:  # [1, N, ...] node-major
+            return P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+        return P()
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), batch
+    )

@@ -257,7 +257,13 @@ class QM8Runner:
         return {"test_mae": mean, "per_task": mae.tolist()}
 
 
-RUNNER_REGISTRY = {"QM8Runner": QM8Runner}
+def _citation_runner(config):
+    from lanczosnet_tpu.train.citation_runner import CitationRunner
+
+    return CitationRunner(config)
+
+
+RUNNER_REGISTRY = {"QM8Runner": QM8Runner, "CitationRunner": _citation_runner}
 
 
 def build_runner(config):
