@@ -34,7 +34,11 @@ WARMUP = 5
 
 
 def bench_jax() -> float:
+    """Scanned-epoch training throughput (the runner's default path):
+    whole dataset device-resident, `lax.scan` over shuffled batches,
+    only a [steps, B] permutation crossing the host per epoch."""
     import jax
+    import jax.numpy as jnp
 
     from lanczosnet_tpu.utils.cache import enable_compilation_cache
 
@@ -44,14 +48,18 @@ def bench_jax() -> float:
     from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
     from lanczosnet_tpu.models import build_model
     from lanczosnet_tpu.train.optim import build_optimizer
-    from lanczosnet_tpu.train.step import init_state, make_train_step
-
-    graphs = synthetic_qm8_graphs(BATCH, seed=0, n_lo=8, n_hi=28)
-    ds = pack_dataset(graphs, n_max=N, num_eig_vec=K, standardize=True)
-    batch = jax.tree.map(
-        jax.device_put, jax.tree.map(np.asarray, ds.slice_batch(np.arange(BATCH)))
+    from lanczosnet_tpu.train.scan_epoch import (
+        device_dataset,
+        gather_batch,
+        make_scan_train_epoch,
     )
-    valid = jax.device_put(np.ones(BATCH, np.float32))
+    from lanczosnet_tpu.train.step import init_state
+
+    num_graphs = 2048
+    steps_per_epoch = num_graphs // BATCH
+    graphs = synthetic_qm8_graphs(num_graphs, seed=0, n_lo=8, n_hi=28)
+    ds = pack_dataset(graphs, n_max=N, num_eig_vec=K, standardize=True)
+    data = device_dataset(ds)
 
     model = build_model(
         {
@@ -68,18 +76,27 @@ def bench_jax() -> float:
         }
     )
     tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
-    state = init_state(model, batch, tx, seed=0)
-    step = make_train_step(model, tx)
+    state = init_state(
+        model, gather_batch(data, jnp.arange(BATCH)), tx, seed=0
+    )
+    epoch_fn = make_scan_train_epoch(model, tx)
+    rng = np.random.default_rng(0)
 
-    for _ in range(WARMUP):
-        state, loss = step(state, batch, valid)
-    jax.block_until_ready(loss)
+    def one_epoch(state):
+        perm = rng.permutation(num_graphs)[: steps_per_epoch * BATCH]
+        perm = jnp.asarray(perm.reshape(steps_per_epoch, BATCH).astype(np.int32))
+        state, losses = epoch_fn(state, data, perm)
+        return state, losses
+
+    state, losses = one_epoch(state)  # compile + warm
+    jax.block_until_ready(losses)
+    epochs = 5
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, loss = step(state, batch, valid)
-    jax.block_until_ready(loss)
+    for _ in range(epochs):
+        state, losses = one_epoch(state)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
-    return STEPS * BATCH / dt
+    return epochs * steps_per_epoch * BATCH / dt
 
 
 def bench_torch_cpu(steps: int = 6) -> float:

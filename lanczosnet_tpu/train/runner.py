@@ -28,9 +28,14 @@ from lanczosnet_tpu.data.dataset import LabelStats, PackedDataset, load_packed, 
 from lanczosnet_tpu.data.loader import BatchLoader, prefetch_to_device
 from lanczosnet_tpu.data.qm8 import import_reference_pickles, synthetic_qm8_graphs
 from lanczosnet_tpu.models import build_model
-from lanczosnet_tpu.parallel.mesh import batch_sharding, make_mesh
+from lanczosnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
 from lanczosnet_tpu.train.checkpoint import Checkpointer
 from lanczosnet_tpu.train.optim import build_optimizer
+from lanczosnet_tpu.train.scan_epoch import (
+    device_dataset,
+    make_scan_eval,
+    make_scan_train_epoch,
+)
 from lanczosnet_tpu.train.step import init_state, make_eval_step, make_train_step
 from lanczosnet_tpu.utils.cache import enable_compilation_cache
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
@@ -154,7 +159,133 @@ class QM8Runner:
         return mae
 
     # ---------------------------------------------------------------- train
+    def _scan_mode(self) -> bool:
+        """Resolve train.scan_epoch: auto|true|false (see train/scan_epoch.py)."""
+        mode = self.config.train.get("scan_epoch", "auto")
+        if isinstance(mode, bool):
+            return mode
+        nbytes = sum(
+            getattr(self.datasets["train"], f).nbytes
+            for f in ("ops", "node_feat", "ritz_vec")
+            if getattr(self.datasets["train"], f) is not None
+        )
+        return nbytes < 2 * 1024**3  # device-resident if the split fits
+
     def train(self) -> dict:
+        if self._scan_mode():
+            return self._train_scanned()
+        return self._train_per_step()
+
+    def _train_scanned(self) -> dict:
+        """Device-resident dataset + one `lax.scan` program per epoch."""
+        import numpy as _np
+
+        cfg = self.config
+        tcfg = cfg.train
+        bs = int(tcfg.batch_size)
+        g_train = len(self.datasets["train"])
+        steps_per_epoch = max(g_train // bs, 1)
+        tx, schedule = build_optimizer(tcfg, steps_per_epoch)
+        epoch_fn = make_scan_train_epoch(self.model, tx)
+        scan_eval = make_scan_eval(self.model)
+        rsh = replicate_sharding(self.mesh)
+        psh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, "data")
+        )
+
+        data = {
+            s: device_dataset(self.datasets[s], rsh) for s in ("train", "val", "test")
+        }
+        rng = _np.random.Generator(_np.random.Philox(int(cfg.seed)))
+
+        def eval_split(params, split):
+            g = len(self.datasets[split])
+            s = -(-g // bs)
+            idx = _np.zeros((s, bs), _np.int32)
+            valid = _np.zeros((s, bs), _np.float32)
+            flat = _np.arange(g)
+            idx.reshape(-1)[: g] = flat
+            valid.reshape(-1)[: g] = 1.0
+            esum, count = scan_eval(
+                params, data[split], jax.device_put(idx, psh),
+                jax.device_put(valid, psh),
+            )
+            mae = _np.asarray(esum) / max(float(count), 1.0)
+            if self.stats is not None:
+                mae = self.stats.unstandardize_mae(mae)
+            return mae
+
+        state = init_state(
+            self.model,
+            jax.tree.map(
+                lambda x: x[:bs],
+                data["train"],
+            ),
+            tx,
+            seed=int(cfg.seed),
+        )
+        state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+
+        start_epoch = 0
+        if tcfg.get("is_resume") and self.ckpt.exists("latest"):
+            state = self.ckpt.restore("latest", state)
+            meta = self.ckpt.meta("latest") or {}
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            self.log.info("resumed from epoch %d", start_epoch)
+        elif tcfg.get("resume_model"):
+            state = Checkpointer.restore_file(tcfg["resume_model"], state)
+
+        best_val = float("inf")
+        valid_every = int(tcfg.get("valid_epoch", 1))
+        max_epoch = int(tcfg.get("max_epoch", 10))
+        self.log.info(
+            "scanned-epoch mode: %d steps/epoch resident on %d device(s)",
+            steps_per_epoch, self.mesh.size,
+        )
+        for epoch in range(start_epoch, max_epoch):
+            t0 = time.perf_counter()
+            perm = rng.permutation(g_train)[: steps_per_epoch * bs].reshape(
+                steps_per_epoch, bs
+            ).astype(_np.int32)
+            state, losses = epoch_fn(
+                state, data["train"], jax.device_put(perm, psh)
+            )
+            jax.block_until_ready(state.params)
+            epoch_time = time.perf_counter() - t0
+            gps = steps_per_epoch * bs / epoch_time
+            mean_loss = float(np.mean(np.asarray(losses)))
+            self.metrics.log(
+                "epoch", epoch=epoch, loss=mean_loss,
+                epoch_time_s=epoch_time, graphs_per_sec=gps,
+            )
+            if (epoch + 1) % valid_every == 0 or epoch == max_epoch - 1:
+                val_mae = eval_split(state.params, "val")
+                mean_mae = float(val_mae.mean())
+                self.log.info(
+                    "epoch %d | loss %.6f | val MAE %.6f | %.0f graphs/s"
+                    " | %.3fs/epoch | lr %.2e",
+                    epoch, mean_loss, mean_mae, gps, epoch_time,
+                    float(schedule(int(state.step))),
+                )
+                self.metrics.log(
+                    "val", epoch=epoch, mae=mean_mae, per_task=val_mae.tolist()
+                )
+                if mean_mae < best_val:
+                    best_val = mean_mae
+                    self.ckpt.save(
+                        "best", state, {"epoch": epoch, "val_mae": mean_mae}
+                    )
+            self.ckpt.save("latest", state, {"epoch": epoch})
+
+        test_mae = None
+        if self.ckpt.exists("best"):
+            state = self.ckpt.restore("best", state)
+            test_mae = float(eval_split(state.params, "test").mean())
+            self.log.info("best val %.6f | test MAE %.6f", best_val, test_mae)
+            self.metrics.log("test", mae=test_mae, best_val=best_val)
+        return {"best_val_mae": best_val, "test_mae": test_mae}
+
+    def _train_per_step(self) -> dict:
         cfg = self.config
         tcfg = cfg.train
         train_loader = self._loader("train", shuffle=bool(tcfg.get("shuffle", True)),

@@ -1,0 +1,110 @@
+"""Device-resident scanned-epoch training — the fast path.
+
+The reference's hot loop pays per-batch Python + dispatch overhead for
+every step (SURVEY.md §3.1); our per-step jit (train/step.py) already
+collapses each step to one program, but host→device dispatch latency
+(~ms over this box's TPU tunnel) still bounds throughput for QM8-sized
+models whose on-device step time is microseconds.
+
+This module removes the host from the loop entirely: the packed
+dataset lives ON DEVICE for the whole run (QM8 scale ≈ 0.5 GB ≪ HBM),
+and one jitted program runs a whole epoch as `lax.scan` over shuffled
+batch-index rows, gathering each batch from the resident arrays
+device-side. Per epoch, the only H2D traffic is the `[steps, B]` int32
+permutation (a few KB). Under a data mesh the dataset is replicated and
+the index rows are batch-sharded, so each device gathers and computes
+its shard and XLA all-reduces gradients as usual.
+
+Enabled by `train.scan_epoch: auto|true|false` (auto = on when the
+dataset fits a budget); the per-step path remains the default for
+streaming-scale datasets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from lanczosnet_tpu.core.graph_batch import GraphBatch
+from lanczosnet_tpu.data.dataset import PackedDataset
+from lanczosnet_tpu.train.step import TrainState, weighted_mae
+
+
+def device_dataset(ds: PackedDataset, sharding=None) -> GraphBatch:
+    """Ship a packed split to device(s) once, as a GraphBatch whose
+    leading axis is the whole split (replicated under a mesh)."""
+    batch = ds.slice_batch(slice(None))
+    put = (
+        (lambda x: jax.device_put(x, sharding))
+        if sharding is not None
+        else jax.device_put
+    )
+    return jax.tree.map(put, batch)
+
+
+def gather_batch(data: GraphBatch, idx: jnp.ndarray) -> GraphBatch:
+    """Device-side gather of one batch of graph indices."""
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
+
+
+def make_scan_train_epoch(model, tx) -> Callable:
+    """(state, data, perm [S,B]) → (state, losses [S]). One XLA program."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, data: GraphBatch, perm: jnp.ndarray):
+        def body(state, idx):
+            batch = gather_batch(data, idx)
+            rng, dropout_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                pred = model.apply(
+                    {"params": params},
+                    batch,
+                    deterministic=False,
+                    rngs={"dropout": dropout_rng},
+                )
+                return weighted_mae(
+                    pred, batch.label, jnp.ones(idx.shape[0], jnp.float32)
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                    rng=rng,
+                ),
+                loss,
+            )
+
+        return jax.lax.scan(body, state, perm)
+
+    return epoch_fn
+
+
+def make_scan_eval(model) -> Callable:
+    """(params, data, idx [S,B], valid [S,B]) → (per-task |err| sums, count)."""
+
+    @jax.jit
+    def eval_fn(params, data: GraphBatch, idx: jnp.ndarray, valid: jnp.ndarray):
+        def body(carry, xs):
+            i, v = xs
+            batch = gather_batch(data, i)
+            pred = model.apply({"params": params}, batch, deterministic=True)
+            err = jnp.sum(jnp.abs(pred - batch.label) * v[:, None], axis=0)
+            esum, count = carry
+            return (esum + err, count + jnp.sum(v)), None
+
+        t = data.label.shape[-1]
+        (esum, count), _ = jax.lax.scan(
+            body, (jnp.zeros((t,)), jnp.zeros(())), (idx, valid)
+        )
+        return esum, count
+
+    return eval_fn
