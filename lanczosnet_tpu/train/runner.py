@@ -39,6 +39,7 @@ from lanczosnet_tpu.train.scan_epoch import (
 from lanczosnet_tpu.train.step import init_state, make_eval_step, make_train_step
 from lanczosnet_tpu.utils.cache import enable_compilation_cache
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
+from lanczosnet_tpu.utils.profiling import trace
 
 SPLITS = ("train", "val", "test")
 
@@ -242,15 +243,19 @@ class QM8Runner:
             "scanned-epoch mode: %d steps/epoch resident on %d device(s)",
             steps_per_epoch, self.mesh.size,
         )
+        profile_epoch = start_epoch + 1 if tcfg.get("profile") else -1
         for epoch in range(start_epoch, max_epoch):
             t0 = time.perf_counter()
             perm = rng.permutation(g_train)[: steps_per_epoch * bs].reshape(
                 steps_per_epoch, bs
             ).astype(_np.int32)
-            state, losses = epoch_fn(
-                state, data["train"], jax.device_put(perm, psh)
-            )
-            jax.block_until_ready(state.params)
+            with trace(
+                Path(cfg.save_dir) / "trace" if epoch == profile_epoch else None
+            ):
+                state, losses = epoch_fn(
+                    state, data["train"], jax.device_put(perm, psh)
+                )
+                jax.block_until_ready(state.params)
             epoch_time = time.perf_counter() - t0
             gps = steps_per_epoch * bs / epoch_time
             mean_loss = float(np.mean(np.asarray(losses)))
@@ -314,13 +319,18 @@ class QM8Runner:
         valid_every = int(tcfg.get("valid_epoch", 1))
         max_epoch = int(tcfg.get("max_epoch", 10))
 
+        profile_epoch = start_epoch + 1 if tcfg.get("profile") else -1
         for epoch in range(start_epoch, max_epoch):
             t0 = time.perf_counter()
             losses = []
-            for it, (batch, valid) in enumerate(
-                prefetch_to_device(train_loader.epoch(), self.sharding)
-            ):
-                state, loss = train_step(state, batch, valid)
+            ctx = trace(
+                Path(cfg.save_dir) / "trace" if epoch == profile_epoch else None
+            )
+            with ctx:
+                for it, (batch, valid) in enumerate(
+                    prefetch_to_device(train_loader.epoch(), self.sharding)
+                ):
+                    state, loss = train_step(state, batch, valid)
                 if (it + 1) % display_iter == 0:
                     lv = float(loss)
                     losses.append(lv)

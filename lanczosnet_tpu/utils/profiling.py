@@ -1,0 +1,74 @@
+"""Profiling / tracing — the observability subsystem (SURVEY.md §5).
+
+The reference has no profiling hooks at all; its only timing signal is
+log timestamps. Here:
+
+- :func:`trace` — context manager around `jax.profiler` producing a
+  Perfetto/TensorBoard-loadable trace directory (`trace/` in the run
+  dir when `train.profile: true`).
+- :class:`StepTimer` — `block_until_ready`-based wall timers feeding
+  the graphs/sec + epoch-time metrics that BASELINE.json names.
+- :func:`debug_nans` — scoped `jax_debug_nans` enabling, the
+  sanitizer analog called out in SURVEY.md §5 (tests use it; in
+  production it stays off because it forces synchronous dispatch).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | Path | None) -> Iterator[None]:
+    """Capture a device trace into ``log_dir`` (no-op if None)."""
+    if log_dir is None:
+        yield
+        return
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def debug_nans(enable: bool = True) -> Iterator[None]:
+    """Scoped NaN checking: any jitted op producing NaN raises."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", bool(enable))
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+class StepTimer:
+    """Wall-clock over device work: call .start(), then .stop(x) where
+    x is an output of the timed computation (blocked on before reading
+    the clock)."""
+
+    def __init__(self):
+        self._t0: Optional[float] = None
+        self.total = 0.0
+        self.count = 0
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self, result=None) -> float:
+        if result is not None:
+            jax.block_until_ready(result)
+        dt = time.perf_counter() - self._t0
+        self.total += dt
+        self.count += 1
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return self.total / max(self.count, 1)

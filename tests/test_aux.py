@@ -1,0 +1,94 @@
+"""Auxiliary subsystems (SURVEY.md §5): profiling, NaN sanitizer,
+multi-host no-op init, end-to-end seed determinism."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lanczosnet_tpu.parallel.multihost import initialize, is_primary
+from lanczosnet_tpu.utils.profiling import StepTimer, debug_nans, trace
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.start()
+    x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    dt = t.stop(x)
+    assert dt > 0 and t.count == 1 and t.mean == t.total
+
+
+def test_trace_start_stop_wiring(tmp_path, monkeypatch):
+    # the live profiler backend can hang on this box's forced-CPU setup,
+    # so verify the start/stop contract with a stub
+    calls = []
+    monkeypatch.setattr(
+        jax.profiler, "start_trace", lambda d: calls.append(("start", d))
+    )
+    monkeypatch.setattr(
+        jax.profiler, "stop_trace", lambda: calls.append(("stop", None))
+    )
+    d = tmp_path / "trace"
+    with trace(d):
+        pass
+    assert calls == [("start", str(d)), ("stop", None)]
+    assert d.exists()
+    # stop still runs when the body raises
+    calls.clear()
+    with pytest.raises(RuntimeError):
+        with trace(d):
+            raise RuntimeError("boom")
+    assert calls[-1] == ("stop", None)
+
+
+def test_trace_none_noop():
+    with trace(None):
+        pass
+
+
+def test_debug_nans_catches():
+    @jax.jit
+    def bad(x):
+        return jnp.sqrt(x)  # NaN for negative input
+
+    with debug_nans(True):
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(bad(jnp.asarray(-1.0)))
+    # restored afterwards
+    assert not jax.config.jax_debug_nans
+    jax.block_until_ready(bad(jnp.asarray(-1.0)))  # no raise when off
+
+
+def test_debug_nans_lanczos_clean():
+    """The breakdown-guarded Lanczos produces no NaNs even under the
+    sanitizer with pathological (zero / disconnected) graphs."""
+    from lanczosnet_tpu.ops.lanczos import batched_lanczos_ritz
+
+    s = jnp.zeros((2, 8, 8))
+    mask = jnp.zeros((2, 8)).at[0, :3].set(1.0)
+    with debug_nans(True):
+        d, v = batched_lanczos_ritz(s, mask, 4)
+        jax.block_until_ready(v)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_multihost_single_process_noop():
+    assert initialize() == 1
+    assert is_primary()
+
+
+def test_runner_seed_determinism(tmp_path):
+    """Same config + seed → bit-identical training outcome."""
+    import pathlib
+
+    from lanczosnet_tpu.train.runner import build_runner
+    from tests.test_train import _runner_config
+
+    results = []
+    for tag in ("a", "b"):
+        cfg = _runner_config(tmp_path, "GCN")
+        cfg.save_dir = str(tmp_path / f"det_{tag}")
+        pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+        results.append(build_runner(cfg).train())
+    assert results[0]["best_val_mae"] == results[1]["best_val_mae"]
+    assert results[0]["test_mae"] == results[1]["test_mae"]
