@@ -81,6 +81,14 @@ class GraphBatch:
         """``[B, N, N]`` outer product of the node mask."""
         return self.mask[:, :, None] * self.mask[:, None, :]
 
+    def ops_with_self(self) -> Array:
+        """``[B, E+1, N, N]`` operator stack with a masked identity
+        (self-loop) channel appended — the reference's explicit "self"
+        channel in its ``[B,N,N,E+1]`` stacks (SURVEY.md §2.2)."""
+        n = self.mask.shape[-1]
+        eye = jnp.eye(n, dtype=self.ops.dtype) * self.mask[:, :, None]
+        return jnp.concatenate([self.ops, eye[:, None]], axis=1)
+
     def num_nodes(self) -> Array:
         """``[B]`` number of real nodes per graph."""
         return jnp.sum(self.mask, axis=-1)

@@ -112,16 +112,18 @@ def import_planetoid(data_dir: str | Path, name: str) -> dict:
     test_idx = np.asarray(
         [int(line) for line in open(data_dir / f"ind.{name}.test.index")]
     )
-    tosort = np.sort(test_idx)
 
     def dense(m):
         return np.asarray(m.todense() if hasattr(m, "todense") else m, np.float32)
 
     allx, tx, x = dense(allx), dense(tx), dense(x)
-    n = allx.shape[0] + tx.shape[0]
+    # Planetoid layout: nodes [0, allx.rows) are allx; test nodes occupy
+    # the contiguous index range [min(test_idx), max(test_idx)] AFTER it,
+    # but citeseer has isolated test nodes missing from tx — those get
+    # zero features/labels (they also have no edges).
+    n = max(allx.shape[0] + tx.shape[0], int(test_idx.max()) + 1, len(graph))
     features = np.zeros((n, allx.shape[1]), np.float32)
     features[: allx.shape[0]] = allx
-    features[tosort] = tx[np.argsort(test_idx)] if name == "citeseer" else tx
     features[test_idx] = tx
 
     labels_oh = np.zeros((n, ally.shape[1]), np.float32)

@@ -186,7 +186,7 @@ def pack_dataset(
         ops=ops,
         mask=mask,
         label=label,
-        stats=stats if standardize else stats,
+        stats=stats if standardize else None,
         ritz_val=ritz_val,
         ritz_vec=ritz_vec,
         cluster=cluster,

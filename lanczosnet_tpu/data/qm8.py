@@ -117,10 +117,7 @@ def synthetic_qm8_graphs(
     return graphs
 
 
-def import_reference_pickles(
-    path: str | Path,
-    num_edge_type: int = NUM_EDGE_TYPE,
-) -> list[dict]:
+def import_reference_pickles(path: str | Path) -> list[dict]:
     """Convert a reference-format pickled split into our graph dicts.
 
     The reference's preprocessing (SURVEY.md §3.5) pickles per-split
@@ -143,18 +140,38 @@ def import_reference_pickles(
 
     graphs = []
     for rec in records:
-        atom = np.asarray(pick(rec, ("node_feat", "atom_type", "atoms"))).squeeze()
-        if atom.ndim > 1:  # one-hot → index
-            atom = atom.argmax(-1)
-        adj = np.asarray(pick(rec, ("L", "adj", "A")))
+        raw = np.asarray(pick(rec, ("node_feat", "atom_type", "atoms")))
+        node_feat = None
+        if raw.ndim == 2 and raw.shape[1] > 1:
+            # reference layout (see core/graph_batch.py docstring): the
+            # atom-type index rides in column 0 of node_feat, remaining
+            # columns are continuous per-node features — NOT one-hot.
+            atom = raw[:, 0]
+            node_feat = raw[:, 1:].astype(np.float32)
+        else:
+            atom = raw.squeeze()
+        adj = np.asarray(pick(rec, ("adj", "A", "L")))
+        if "adj" not in rec and "A" not in rec and "L" in rec:
+            # 'L' in the reference is the *normalized* operator stack;
+            # re-normalizing it in pack_dataset would corrupt values.
+            raise ValueError(
+                "record carries only the pre-normalized 'L' stack; export "
+                "raw per-edge-type adjacency ('adj'/'A') instead, or pack "
+                "with a custom adapter that skips re-normalization"
+            )
         if adj.ndim == 2:
             adj = adj[None]
-        if adj.shape[0] != num_edge_type and adj.shape[-1] == num_edge_type:
+        # channel axis: the one whose size differs from the two equal
+        # node axes (handles both [E,n,n] and the reference's [n,n,E(+1)])
+        if adj.ndim == 3 and adj.shape[0] == adj.shape[1] != adj.shape[2]:
             adj = np.moveaxis(adj, -1, 0)
+        if adj.shape[1] != adj.shape[2]:
+            raise ValueError(f"cannot identify node axes in adj {adj.shape}")
         label = np.asarray(pick(rec, ("label", "target", "y"))).reshape(-1)
         graphs.append(
             {
                 "atom_type": atom.astype(np.int32) + 1,  # our 0 = padding
+                "node_feat": node_feat,
                 "adj": adj.astype(np.float32),
                 "label": label.astype(np.float32),
             }

@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.models.lanczos_net import SpectralFilter
 from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
 from lanczosnet_tpu.ops.normalize import sym_normalize
@@ -105,7 +105,7 @@ class AdaLanczosNet(nn.Module):
             parts = [h]
             if self.short_diffusion_dist:
                 short = diffusion_features_at(s_op, h, tuple(self.short_diffusion_dist))
-                parts.append(jnp.moveaxis(short, 1, 2).reshape(b, n, -1))
+                parts.append(flatten_feature_stack(short))
             if self.long_diffusion_dist:
                 filt = SpectralFilter(
                     tuple(self.long_diffusion_dist),
@@ -114,15 +114,9 @@ class AdaLanczosNet(nn.Module):
                     name=f"spectral_filter_{li}",
                 )(ritz_val)
                 long = long_scale_features(ritz_vec, filt, h)
-                parts.append(jnp.moveaxis(long, 1, 2).reshape(b, n, -1))
+                parts.append(flatten_feature_stack(long))
             if batch.num_ops > 1:
-                onehop = jnp.einsum(
-                    "beij,bjf->beif",
-                    batch.ops[:, 1:],
-                    h,
-                    preferred_element_type=jnp.float32,
-                )
-                parts.append(jnp.moveaxis(onehop, 1, 2).reshape(b, n, -1))
+                parts.append(edge_message_concat(batch.ops[:, 1:], h))
             h = nn.Dense(dim, name=f"layer_{li}")(jnp.concatenate(parts, axis=-1))
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -26,9 +26,25 @@ def mae_loss(pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred - label))
 
 
-def bmm(op: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """[..., N, N] @ [..., N, F] with fp32 MXU accumulation."""
-    return jnp.einsum("...ij,...jf->...if", op, x, preferred_element_type=jnp.float32)
+def flatten_feature_stack(x: jnp.ndarray) -> jnp.ndarray:
+    """``[B, C, N, F]`` per-channel feature stack → ``[B, N, C·F]``.
+
+    The standard layout step between multi-channel propagation (edge
+    types, diffusion scales, Chebyshev orders, …) and the per-layer
+    Dense mix; shared so every model flattens identically.
+    """
+    b, c, n, f = x.shape
+    return jnp.moveaxis(x, 1, 2).reshape(b, n, c * f)
+
+
+def edge_message_concat(ops: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge-type propagation, flattened: ``[B,E,N,N]·[B,N,F] →
+    [B,N,E·F]`` with fp32 MXU accumulation — the one-hop message block
+    shared by GCN/GraphSAGE/GPNN/LanczosNet/AdaLanczosNet."""
+    msg = jnp.einsum(
+        "beij,bjf->beif", ops, h, preferred_element_type=jnp.float32
+    )
+    return flatten_feature_stack(msg)
 
 
 class NodeEncoder(nn.Module):

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 
 
 class GCN(nn.Module):
@@ -45,10 +45,7 @@ class GCN(nn.Module):
         h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
         b, n = batch.mask.shape
         for li, dim in enumerate(self.hidden_dim):
-            msg = jnp.einsum(
-                "beij,bjf->beif", batch.ops, h, preferred_element_type=jnp.float32
-            )  # [B, E, N, F]
-            msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, -1)
+            msg = edge_message_concat(batch.ops, h)
             h = nn.Dense(dim, name=f"layer_{li}")(
                 jnp.concatenate([h, msg], axis=-1)
             )

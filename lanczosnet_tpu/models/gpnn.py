@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 
 
 class GPNN(nn.Module):
@@ -61,11 +61,7 @@ class GPNN(nn.Module):
         inter_ops = batch.ops * (batch.pair_mask() - same)[:, None]
 
         def propagate(x, ops, name):
-            msg = jnp.einsum(
-                "beij,bjf->beif", ops, x, preferred_element_type=jnp.float32
-            )
-            msg = jnp.moveaxis(msg, 1, 2).reshape(b, n, -1)
-            return jnp.concatenate([x, msg], axis=-1)
+            return jnp.concatenate([x, edge_message_concat(ops, x)], axis=-1)
 
         for li, dim in enumerate(self.hidden_dim):
             for p in range(self.num_prop):

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.masked import l2_normalize
 
 
@@ -48,10 +48,7 @@ class GraphSAGE(nn.Module):
         deg = jnp.sum(support, axis=-1, keepdims=True)
         mean_op = support / jnp.maximum(deg, 1.0)
         for li, dim in enumerate(self.hidden_dim):
-            neigh = jnp.einsum(
-                "beij,bjf->beif", mean_op, h, preferred_element_type=jnp.float32
-            )
-            neigh = jnp.moveaxis(neigh, 1, 2).reshape(b, n, -1)
+            neigh = edge_message_concat(mean_op, h)
             h = nn.Dense(dim, name=f"layer_{li}")(
                 jnp.concatenate([h, neigh], axis=-1)
             )

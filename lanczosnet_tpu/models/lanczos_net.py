@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, MLP, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, MLP, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import diffusion_features_at
 from lanczosnet_tpu.ops.spectral import long_scale_features
 
@@ -100,7 +100,7 @@ class LanczosNet(nn.Module):
             parts = [h]
             if self.short_diffusion_dist:
                 short = diffusion_features_at(s_op, h, tuple(self.short_diffusion_dist))
-                parts.append(jnp.moveaxis(short, 1, 2).reshape(b, n, -1))
+                parts.append(flatten_feature_stack(short))
             if self.long_diffusion_dist:
                 filt = SpectralFilter(
                     tuple(self.long_diffusion_dist),
@@ -109,15 +109,9 @@ class LanczosNet(nn.Module):
                     name=f"spectral_filter_{li}",
                 )(batch.ritz_val)
                 long = long_scale_features(batch.ritz_vec, filt, h)
-                parts.append(jnp.moveaxis(long, 1, 2).reshape(b, n, -1))
+                parts.append(flatten_feature_stack(long))
             if batch.num_ops > 1:
-                onehop = jnp.einsum(
-                    "beij,bjf->beif",
-                    batch.ops[:, 1:],
-                    h,
-                    preferred_element_type=jnp.float32,
-                )
-                parts.append(jnp.moveaxis(onehop, 1, 2).reshape(b, n, -1))
+                parts.append(edge_message_concat(batch.ops[:, 1:], h))
             h = nn.Dense(dim, name=f"layer_{li}")(jnp.concatenate(parts, axis=-1))
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -48,6 +48,30 @@ def _norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(jnp.sum(x * x), eps * eps))
 
 
+def lanczos_start_vector(mask: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Deterministic *generic* start vector ``q0`` for the recursion.
+
+    A constant start vector is an eigenvector of every regular graph's
+    normalized operator, which makes Lanczos break down after one step
+    and silently collapses the K Ritz pairs to rank 1 (a cycle/ring
+    molecule would lose all long-scale structure). Instead use a fixed
+    quasi-random masked vector — a sum of incommensurate sinusoids of
+    the node index — which has generic overlap with every eigenvector
+    in practice while staying bit-reproducible across runs and across
+    the scan/Pallas implementations (both call this).
+
+    mask ``[..., N]`` → unit-norm ``q0 [..., N]`` supported on mask.
+    """
+    n = mask.shape[-1]
+    i = jnp.arange(n, dtype=jnp.float32)
+    v = 1.0 + jnp.sin(1.9 * i + 0.7) + 0.5 * jnp.cos(0.37 * i * i + 0.3)
+    v = v * mask
+    norm = jnp.sqrt(
+        jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps * eps)
+    )
+    return v / norm
+
+
 @partial(jax.jit, static_argnames=("k",))
 def lanczos_tridiag(
     s: jnp.ndarray,
@@ -71,7 +95,7 @@ def lanczos_tridiag(
     dtype = s.dtype
     mask = mask.astype(dtype)
 
-    q0 = mask / _norm(mask, eps)
+    q0 = lanczos_start_vector(mask, eps).astype(dtype)
     q_buf = jnp.zeros((k, n), dtype).at[0].set(q0)
 
     def step(carry, j):

@@ -38,7 +38,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lanczosnet_tpu.ops.eigh import eigh_dispatch
-from lanczosnet_tpu.ops.lanczos import batched_lanczos_ritz, tridiag_matrix
+from lanczosnet_tpu.ops.lanczos import (
+    batched_lanczos_ritz,
+    lanczos_start_vector,
+    tridiag_matrix,
+)
 
 _VMEM_BUDGET = 6 * 1024 * 1024  # bytes of VMEM we allow the S tile to take
 
@@ -53,9 +57,13 @@ def _pick_tile(b: int, n: int) -> int:
     return 128
 
 
-def _lanczos_kernel(s_ref, mask_ref, alpha_ref, beta_ref, q_ref, *, k: int,
+def _lanczos_kernel(s_ref, q0_ref, alpha_ref, beta_ref, q_ref, *, k: int,
                     eps: float):
-    """One tile: s [G,N,N], mask [G,N] → alphas [K,G], betas [K,G], q [G,K,N].
+    """One tile: s [G,N,N], q0 [G,N] → alphas [K,G], betas [K,G], q [G,K,N].
+
+    q0 is the generic start vector computed by the host wrapper
+    (`ops.lanczos.lanczos_start_vector`), shared with the scan
+    implementation so both produce bit-comparable bases.
 
     alpha/beta are laid out ``[K, G]`` (step index on the *sublane* axis)
     because Mosaic only supports dynamically-indexed stores on sublanes,
@@ -63,13 +71,8 @@ def _lanczos_kernel(s_ref, mask_ref, alpha_ref, beta_ref, q_ref, *, k: int,
     index also lands on a sublane axis ([G, K, N] → K is sublane).
     """
     s = s_ref[:]  # [G, N, N]
-    mask = mask_ref[:]  # [G, N]
-    g, n = mask.shape
-
-    mnorm = jnp.sqrt(
-        jnp.maximum(jnp.sum(mask * mask, axis=-1, keepdims=True), eps * eps)
-    )
-    q0 = mask / mnorm  # [G, N]
+    q0 = q0_ref[:]  # [G, N]
+    g, n = q0.shape
 
     q_ref[:] = jnp.zeros((g, k, n), jnp.float32)
     q_ref[:, 0, :] = q0
@@ -149,7 +152,10 @@ def lanczos_tridiag_pallas(
             jax.ShapeDtypeStruct((bp, k, n), jnp.float32),
         ],
         interpret=interpret,
-    )(s.astype(jnp.float32), mask.astype(jnp.float32))
+    )(
+        s.astype(jnp.float32),
+        lanczos_start_vector(mask.astype(jnp.float32), eps),
+    )
     alphas = alphas.T
     betas = betas.T
     return alphas[:b], betas[:b, : k - 1], q[:b]

@@ -1,0 +1,145 @@
+"""Inference / serving path.
+
+The reference's only inference story is `run_exp.py -t` (batch test
+over a split). For deployment this module adds a `Predictor`: load a
+run directory (config + best checkpoint) once, keep params device-
+resident, and serve predictions for raw graph dicts through one jitted
+forward with a fixed padded batch shape (requests are ghost-padded to
+the compiled shape, so any request size ≤ batch_size reuses the same
+executable — no recompiles in steady state).
+
+    pred = Predictor.from_run_dir("exp/qm8_lanczos_net/<run_id>")
+    y = pred.predict(graphs)          # graphs: list of graph dicts
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+import yaml
+
+from lanczosnet_tpu.data.dataset import LabelStats, pack_dataset
+from lanczosnet_tpu.models import build_model
+from lanczosnet_tpu.train.checkpoint import Checkpointer
+from lanczosnet_tpu.utils.cache import enable_compilation_cache
+from lanczosnet_tpu.utils.config import AttrDict
+
+
+class Predictor:
+    """Device-resident single-model prediction service."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        n_max: int,
+        batch_size: int = 64,
+        num_eig_vec: int = 0,
+        operator_kind: str = "sym",
+        stats: Optional[LabelStats] = None,
+    ):
+        enable_compilation_cache()
+        self.model = model
+        self.params = jax.device_put(params)
+        self.n_max = n_max
+        self.batch_size = batch_size
+        self.num_eig_vec = num_eig_vec
+        self.operator_kind = operator_kind
+        self.stats = stats
+        self._apply = jax.jit(
+            lambda p, b: model.apply({"params": p}, b, deterministic=True)
+        )
+
+    @classmethod
+    def from_run_dir(
+        cls, run_dir: str | Path, tag: str = "best", batch_size: int = 64
+    ) -> "Predictor":
+        """Build from a training run: reads the dumped config + snapshot."""
+        run_dir = Path(run_dir)
+        cfg = AttrDict.convert(
+            yaml.safe_load((run_dir / "config.yaml").read_text())
+        )
+        mcfg = dict(cfg.model)
+        mcfg.setdefault("num_atom", int(cfg.dataset.get("num_atom", 8)))
+        num_eig = (
+            int(mcfg.get("num_eig_vec", 20))
+            if mcfg["name"] == "LanczosNet"
+            else 0
+        )
+        # label width + stats come from one pack of a probe graph set at
+        # train time; the snapshot's param shapes pin everything else.
+        from lanczosnet_tpu.data.qm8 import NUM_TASK, synthetic_qm8_graphs
+
+        mcfg["num_task"] = int(cfg.dataset.get("num_task", NUM_TASK))
+        model = build_model(mcfg)
+        n_max = int(cfg.dataset.get("n_max", 32))
+        probe = pack_dataset(
+            synthetic_qm8_graphs(2, seed=0, n_lo=4, n_hi=min(8, n_max)),
+            n_max=n_max,
+            num_eig_vec=num_eig,
+            operator_kind=cfg.dataset.get("operator_kind", "sym"),
+        )
+        batch = jax.tree.map(np.asarray, probe.slice_batch(np.arange(2)))
+        variables = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
+
+        ck = Checkpointer(run_dir)
+        from lanczosnet_tpu.train.optim import build_optimizer
+        from lanczosnet_tpu.train.step import TrainState
+        import jax.numpy as jnp
+
+        tx, _ = build_optimizer(dict(cfg.train), 1)
+        template = TrainState(
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(0),
+        )
+        state = ck.restore(tag, template)
+        # training-split label stats for unstandardized outputs
+        stats = None
+        meta = ck.meta(tag) or {}
+        if "label_mean" in meta:
+            stats = LabelStats(
+                mean=np.asarray(meta["label_mean"]),
+                std=np.asarray(meta["label_std"]),
+            )
+        return cls(
+            model,
+            state.params,
+            n_max=n_max,
+            batch_size=batch_size,
+            num_eig_vec=num_eig,
+            operator_kind=cfg.dataset.get("operator_kind", "sym"),
+            stats=stats,
+        )
+
+    def predict(self, graphs: Sequence[dict]) -> np.ndarray:
+        """Graph dicts → ``[len(graphs), T]`` predictions (original label
+        units when train-time stats are available)."""
+        out = []
+        bs = self.batch_size
+        graphs = [
+            g if "label" in g else {**g, "label": np.zeros(1, np.float32)}
+            for g in graphs
+        ]
+        for lo in range(0, len(graphs), bs):
+            chunk = list(graphs[lo : lo + bs])
+            real = len(chunk)
+            while len(chunk) < bs:  # ghost-pad to the compiled shape
+                chunk.append(chunk[0])
+            ds = pack_dataset(
+                chunk,
+                n_max=self.n_max,
+                num_eig_vec=self.num_eig_vec,
+                operator_kind=self.operator_kind,
+            )
+            batch = jax.tree.map(np.asarray, ds.slice_batch(np.arange(bs)))
+            pred = np.asarray(self._apply(self.params, batch))[:real]
+            out.append(pred)
+        pred = np.concatenate(out)
+        if self.stats is not None:
+            pred = pred * self.stats.std + self.stats.mean
+        return pred

@@ -41,6 +41,11 @@ def build_optimizer(
     chain: list[optax.GradientTransformation] = []
     if train_cfg.get("grad_clip"):
         chain.append(optax.clip_by_global_norm(float(train_cfg["grad_clip"])))
+    # L2 is added to the gradient BEFORE the optimizer statistics —
+    # torch's Adam/SGD(weight_decay=) coupled semantics, which the
+    # reference uses — not decoupled AdamW.
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))
     if name == "adam":
         chain.append(optax.scale_by_adam())
     elif name == "sgd":
@@ -49,7 +54,5 @@ def build_optimizer(
             chain.append(optax.trace(decay=mom, nesterov=False))
     else:
         raise ValueError(f"unknown optimizer {name!r} (Adam|SGD)")
-    if wd:
-        chain.append(optax.add_decayed_weights(wd))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain), schedule

@@ -172,6 +172,16 @@ class QM8Runner:
         )
         return nbytes < 2 * 1024**3  # device-resident if the split fits
 
+
+    def _best_meta(self, epoch: int, val_mae: float) -> dict:
+        """Best-snapshot metadata; includes label stats so serve.Predictor
+        can return original-unit predictions."""
+        meta = {"epoch": epoch, "val_mae": val_mae}
+        if self.stats is not None:
+            meta["label_mean"] = np.asarray(self.stats.mean).tolist()
+            meta["label_std"] = np.asarray(self.stats.std).tolist()
+        return meta
+
     def train(self) -> dict:
         if self._scan_mode():
             return self._train_scanned()
@@ -278,7 +288,7 @@ class QM8Runner:
                 if mean_mae < best_val:
                     best_val = mean_mae
                     self.ckpt.save(
-                        "best", state, {"epoch": epoch, "val_mae": mean_mae}
+                        "best", state, self._best_meta(epoch, mean_mae)
                     )
             self.ckpt.save("latest", state, {"epoch": epoch})
 
@@ -331,15 +341,17 @@ class QM8Runner:
                     prefetch_to_device(train_loader.epoch(), self.sharding)
                 ):
                     state, loss = train_step(state, batch, valid)
-                if (it + 1) % display_iter == 0:
-                    lv = float(loss)
-                    losses.append(lv)
-                    step = int(state.step)
-                    self.log.info(
-                        "epoch %d it %d | loss %.6f | lr %.2e",
-                        epoch, it + 1, lv, float(schedule(step)),
-                    )
-                    self.metrics.log("train", epoch=epoch, step=step, loss=lv)
+                    if (it + 1) % display_iter == 0 or it + 1 == steps_per_epoch:
+                        lv = float(loss)
+                        losses.append(lv)
+                        step = int(state.step)
+                        self.log.info(
+                            "epoch %d it %d | loss %.6f | lr %.2e",
+                            epoch, it + 1, lv, float(schedule(step)),
+                        )
+                        self.metrics.log(
+                            "train", epoch=epoch, step=step, loss=lv
+                        )
             jax.block_until_ready(state.params)
             epoch_time = time.perf_counter() - t0
             gps = steps_per_epoch * int(tcfg.batch_size) / epoch_time
@@ -360,7 +372,7 @@ class QM8Runner:
                 if mean_mae < best_val:
                     best_val = mean_mae
                     self.ckpt.save(
-                        "best", state, {"epoch": epoch, "val_mae": mean_mae}
+                        "best", state, self._best_meta(epoch, mean_mae)
                     )
             self.ckpt.save("latest", state, {"epoch": epoch})
 

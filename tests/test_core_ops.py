@@ -143,3 +143,22 @@ def test_graph_batch_pytree():
     assert len(leaves) == 5
     assert gb.batch_size == 2 and gb.n_max == 4 and gb.num_ops == 3
     assert gb.pair_mask().shape == (2, 4, 4)
+
+
+def test_ops_with_self_channel():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.helpers import make_batch
+
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, num=3, n_max=12)
+    stacked = batch.ops_with_self()
+    assert stacked.shape[1] == batch.ops.shape[1] + 1
+    np.testing.assert_allclose(np.asarray(stacked[:, :-1]), np.asarray(batch.ops))
+    # self channel = masked identity
+    eye = np.asarray(stacked[:, -1])
+    for g in range(3):
+        np.testing.assert_allclose(
+            eye[g], np.diag(np.asarray(batch.mask[g])), atol=1e-6
+        )

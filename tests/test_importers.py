@@ -30,7 +30,7 @@ def test_reference_pickle_importer(tmp_path):
     p = tmp_path / "split.p"
     with open(p, "wb") as f:
         pickle.dump(records, f)
-    graphs = import_reference_pickles(p, num_edge_type=2)
+    graphs = import_reference_pickles(p)
     assert len(graphs) == 2
     assert graphs[0]["atom_type"].tolist() == [3, 4, 2]  # +1 for padding id
     assert graphs[0]["adj"].shape == (2, 3, 3)

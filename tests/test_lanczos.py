@@ -80,9 +80,38 @@ def test_breakdown_on_small_graph():
     d, v = np.asarray(d), np.asarray(v)
     assert np.isfinite(d).all() and np.isfinite(v).all()
     # S q0 lies in the Krylov space -> V diag(D) V^T q0 == S q0 exactly.
-    q0 = mask / np.sqrt(mask.sum())
+    from lanczosnet_tpu.ops.lanczos import lanczos_start_vector
+
+    q0 = np.asarray(lanczos_start_vector(jnp.asarray(mask)))
     recon_q0 = v @ (d * (v.T @ q0))
     np.testing.assert_allclose(recon_q0, s @ q0, atol=1e-4)
+
+
+def test_regular_graph_no_rank_collapse():
+    """A cycle (2-regular) graph: the constant vector is an eigenvector,
+    so a naive mask-derived start vector breaks down after one step and
+    collapses the Ritz pairs to rank 1. The generic start vector must
+    recover (close to) the full K-dim spectrum."""
+    n, k = 12, 8
+    a = np.zeros((n, n), np.float32)
+    for i in range(n):
+        a[i, (i + 1) % n] = a[(i + 1) % n, i] = 1.0
+    s = a / 2.0  # sym-normalized 2-regular ring
+    mask = np.ones(n, np.float32)
+    d, v = lanczos_ritz(jnp.asarray(s), jnp.asarray(mask), k)
+    d = np.asarray(d)
+    # at least k-2 distinct, nonzero Ritz values survive
+    nonzero = np.abs(d) > 1e-5
+    assert nonzero.sum() >= k - 2, d
+    # Ritz values are true eigenvalue estimates: all within spectrum
+    evals = np.linalg.eigvalsh(s)
+    assert d.min() >= evals.min() - 1e-4 and d.max() <= evals.max() + 1e-4
+    # reconstruction beats the rank-1 graph-mean projection (what the
+    # old constant start vector collapsed to)
+    rec = np.asarray(v) @ np.diag(d) @ np.asarray(v).T
+    ones = np.ones(n) / np.sqrt(n)
+    rank1 = np.outer(ones, ones)  # eigenvalue-1 projector
+    assert np.linalg.norm(rec - s) < 0.8 * np.linalg.norm(rank1 - s)
 
 
 def test_batched_matches_single():
