@@ -253,44 +253,57 @@ class QM8Runner:
             "scanned-epoch mode: %d steps/epoch resident on %d device(s)",
             steps_per_epoch, self.mesh.size,
         )
-        profile_epoch = start_epoch + 1 if tcfg.get("profile") else -1
-        for epoch in range(start_epoch, max_epoch):
+        profile_group = start_epoch if tcfg.get("profile") else -1
+        # epochs between validations run as ONE scanned program call:
+        # the permutation rows of `valid_every` epochs are concatenated,
+        # so host dispatch happens once per validation interval, not
+        # once per epoch (the LR schedule is step-indexed, unaffected).
+        epoch = start_epoch
+        while epoch < max_epoch:
+            group = min(valid_every, max_epoch - epoch)
             t0 = time.perf_counter()
-            perm = rng.permutation(g_train)[: steps_per_epoch * bs].reshape(
-                steps_per_epoch, bs
-            ).astype(_np.int32)
+            perm = _np.concatenate(
+                [
+                    rng.permutation(g_train)[: steps_per_epoch * bs]
+                    for _ in range(group)
+                ]
+            ).reshape(group * steps_per_epoch, bs).astype(_np.int32)
             with trace(
-                Path(cfg.save_dir) / "trace" if epoch == profile_epoch else None
+                Path(cfg.save_dir) / "trace" if epoch == profile_group else None
             ):
                 state, losses = epoch_fn(
                     state, data["train"], jax.device_put(perm, psh)
                 )
                 jax.block_until_ready(state.params)
-            epoch_time = time.perf_counter() - t0
-            gps = steps_per_epoch * bs / epoch_time
-            mean_loss = float(np.mean(np.asarray(losses)))
-            self.metrics.log(
-                "epoch", epoch=epoch, loss=mean_loss,
-                epoch_time_s=epoch_time, graphs_per_sec=gps,
-            )
-            if (epoch + 1) % valid_every == 0 or epoch == max_epoch - 1:
-                val_mae = eval_split(state.params, "val")
-                mean_mae = float(val_mae.mean())
-                self.log.info(
-                    "epoch %d | loss %.6f | val MAE %.6f | %.0f graphs/s"
-                    " | %.3fs/epoch | lr %.2e",
-                    epoch, mean_loss, mean_mae, gps, epoch_time,
-                    float(schedule(int(state.step))),
-                )
+            group_time = time.perf_counter() - t0
+            epoch_time = group_time / group
+            gps = group * steps_per_epoch * bs / group_time
+            per_epoch_loss = _np.asarray(losses).reshape(
+                group, steps_per_epoch
+            ).mean(1)
+            epoch += group
+            for i, lv in enumerate(per_epoch_loss):
                 self.metrics.log(
-                    "val", epoch=epoch, mae=mean_mae, per_task=val_mae.tolist()
+                    "epoch", epoch=epoch - group + i, loss=float(lv),
+                    epoch_time_s=epoch_time, graphs_per_sec=gps,
                 )
-                if mean_mae < best_val:
-                    best_val = mean_mae
-                    self.ckpt.save(
-                        "best", state, self._best_meta(epoch, mean_mae)
-                    )
-            self.ckpt.save("latest", state, {"epoch": epoch})
+            val_mae = eval_split(state.params, "val")
+            mean_mae = float(val_mae.mean())
+            self.log.info(
+                "epoch %d | loss %.6f | val MAE %.6f | %.0f graphs/s"
+                " | %.3fs/epoch | lr %.2e",
+                epoch - 1, float(per_epoch_loss[-1]), mean_mae, gps,
+                epoch_time, float(schedule(int(state.step))),
+            )
+            self.metrics.log(
+                "val", epoch=epoch - 1, mae=mean_mae, per_task=val_mae.tolist()
+            )
+            if mean_mae < best_val:
+                best_val = mean_mae
+                self.ckpt.save(
+                    "best", state, self._best_meta(epoch - 1, mean_mae)
+                )
+            self.ckpt.save("latest", state, {"epoch": epoch - 1})
 
         test_mae = None
         if self.ckpt.exists("best"):
