@@ -40,9 +40,10 @@ def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
 
-    from lanczosnet_tpu.utils.cache import enable_compilation_cache
+    from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 
     enable_compilation_cache()
+    set_prng_impl()
 
     from lanczosnet_tpu.data.dataset import pack_dataset
     from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs

@@ -29,7 +29,7 @@ from lanczosnet_tpu.train.checkpoint import Checkpointer
 from lanczosnet_tpu.train.node_step import make_node_eval_step, make_node_train_step
 from lanczosnet_tpu.train.optim import build_optimizer
 from lanczosnet_tpu.train.step import init_state
-from lanczosnet_tpu.utils.cache import enable_compilation_cache
+from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
 
 
@@ -38,6 +38,7 @@ class CitationRunner:
         self.config = config
         self.log = get_logger()
         enable_compilation_cache()
+        set_prng_impl(config.train.get("prng_impl", "rbg"))
         self.run_dir = Path(config.save_dir)
         self.metrics = MetricsLogger(self.run_dir / "metrics.jsonl")
         self.ckpt = Checkpointer(self.run_dir)

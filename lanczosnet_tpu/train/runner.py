@@ -37,7 +37,7 @@ from lanczosnet_tpu.train.scan_epoch import (
     make_scan_train_epoch,
 )
 from lanczosnet_tpu.train.step import init_state, make_eval_step, make_train_step
-from lanczosnet_tpu.utils.cache import enable_compilation_cache
+from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
 from lanczosnet_tpu.utils.profiling import trace
 
@@ -58,6 +58,7 @@ class QM8Runner:
         self.config = config
         self.log = get_logger()
         enable_compilation_cache()
+        set_prng_impl(config.train.get("prng_impl", "rbg"))
         self.run_dir = Path(config.save_dir)
         self.metrics = MetricsLogger(self.run_dir / "metrics.jsonl")
         self.ckpt = Checkpointer(self.run_dir)
