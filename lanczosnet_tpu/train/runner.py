@@ -72,10 +72,20 @@ class QM8Runner:
             int(mcfg.get("num_partition", 2)) if mcfg["name"] == "GPNN" else 0
         )
         self.datasets = self._build_datasets(dcfg)
-        self.stats: Optional[LabelStats] = self.datasets["train"].stats
+
+        def _first(ds):
+            return next(iter(ds.values())) if isinstance(ds, dict) else ds
+
+        def _total(ds):
+            return (
+                sum(len(d) for d in ds.values()) if isinstance(ds, dict) else len(ds)
+            )
+
+        self._first, self._total = _first, _total
+        self.stats: Optional[LabelStats] = _first(self.datasets["train"]).stats
 
         mcfg.setdefault("num_atom", int(dcfg.get("num_atom", 8)))
-        mcfg["num_task"] = self.datasets["train"].label.shape[-1]
+        mcfg["num_task"] = _first(self.datasets["train"]).label.shape[-1]
         self.model = build_model(mcfg)
 
         bs = int(config.train.batch_size)
@@ -83,10 +93,13 @@ class QM8Runner:
         self.mesh = make_mesh(_largest_divisor_leq(bs, ndev))
         self.sharding = batch_sharding(self.mesh)
         self.log.info(
-            "runner: model=%s devices=%d batch=%d train/val/test=%d/%d/%d n_max=%d",
+            "runner: model=%s devices=%d batch=%d train/val/test=%d/%d/%d n_max=%s",
             mcfg["name"], self.mesh.size, bs,
-            len(self.datasets["train"]), len(self.datasets["val"]),
-            len(self.datasets["test"]), self.datasets["train"].n_max,
+            _total(self.datasets["train"]), _total(self.datasets["val"]),
+            _total(self.datasets["test"]),
+            sorted(self.datasets["train"])
+            if isinstance(self.datasets["train"], dict)
+            else self.datasets["train"].n_max,
         )
 
     # ---------------------------------------------------------------- data
@@ -100,8 +113,14 @@ class QM8Runner:
         source = dcfg.get("source", "synthetic")
         kind = dcfg.get("operator_kind", "sym")
         n_max = int(dcfg.get("n_max", 32))
+        buckets = dcfg.get("buckets")
         out: dict[str, PackedDataset] = {}
         if source == "packed":
+            if buckets:
+                raise ValueError(
+                    "dataset.buckets needs raw graphs; pre-packed npz splits "
+                    "are already shaped — pack them bucketed instead"
+                )
             for s in SPLITS:
                 out[s] = load_packed(dcfg[f"{s}_path"])
             return out
@@ -122,7 +141,22 @@ class QM8Runner:
             raw = {s: import_reference_pickles(dcfg[f"{s}_path"]) for s in SPLITS}
         else:
             raise ValueError(f"unknown dataset source {source!r}")
+        standardize = bool(dcfg.get("standardize", True))
         stats = None
+        if buckets:
+            from lanczosnet_tpu.data.buckets import pack_dataset_bucketed
+
+            for s in SPLITS:
+                out[s], stats = pack_dataset_bucketed(
+                    raw[s],
+                    bounds=[int(b) for b in buckets],
+                    operator_kind=kind,
+                    num_eig_vec=self.num_eig_vec,
+                    num_cluster=self.num_cluster,
+                    stats=stats,
+                    standardize=standardize,
+                )
+            return out
         for s in SPLITS:
             out[s] = pack_dataset(
                 raw[s],
@@ -131,12 +165,17 @@ class QM8Runner:
                 num_eig_vec=self.num_eig_vec,
                 num_cluster=self.num_cluster,
                 stats=stats,
-                standardize=bool(dcfg.get("standardize", True)),
+                standardize=standardize,
             )
             stats = out[s].stats or stats
         return out
 
     def _loader(self, split: str, shuffle: bool, drop_last: bool) -> BatchLoader:
+        if isinstance(self.datasets[split], dict):
+            raise ValueError(
+                "bucketed datasets run through the scanned trainer only "
+                "(train.scan_epoch must not be false with dataset.buckets)"
+            )
         return BatchLoader(
             self.datasets[split],
             batch_size=int(self.config.train.batch_size),
@@ -163,6 +202,8 @@ class QM8Runner:
     # ---------------------------------------------------------------- train
     def _scan_mode(self) -> bool:
         """Resolve train.scan_epoch: auto|true|false (see train/scan_epoch.py)."""
+        if isinstance(self.datasets["train"], dict):
+            return True  # buckets are a scanned-trainer feature
         mode = self.config.train.get("scan_epoch", "auto")
         if isinstance(mode, bool):
             return mode
@@ -189,14 +230,27 @@ class QM8Runner:
         return self._train_per_step()
 
     def _train_scanned(self) -> dict:
-        """Device-resident dataset + one `lax.scan` program per epoch."""
+        """Device-resident dataset + one `lax.scan` program per epoch.
+
+        Bucketed splits (dataset.buckets) run one compiled program per
+        size bucket per epoch — batches within a bucket are shuffled,
+        buckets execute smallest-first; the GNN param tree is size-
+        independent, so every bucket shares the same state.
+        """
         import numpy as _np
 
         cfg = self.config
         tcfg = cfg.train
         bs = int(tcfg.batch_size)
-        g_train = len(self.datasets["train"])
-        steps_per_epoch = max(g_train // bs, 1)
+
+        def as_buckets(ds):
+            return ds if isinstance(ds, dict) else {ds.n_max: ds}
+
+        buckets = {s: as_buckets(self.datasets[s]) for s in SPLITS}
+        g_train = sum(len(d) for d in buckets["train"].values())
+        steps_per_epoch = sum(
+            max(len(d) // bs, 0) for d in buckets["train"].values()
+        ) or 1
         tx, schedule = build_optimizer(tcfg, steps_per_epoch)
         epoch_fn = make_scan_train_epoch(self.model, tx)
         scan_eval = make_scan_eval(self.model)
@@ -206,33 +260,35 @@ class QM8Runner:
         )
 
         data = {
-            s: device_dataset(self.datasets[s], rsh) for s in ("train", "val", "test")
+            s: {b: device_dataset(d, rsh) for b, d in buckets[s].items()}
+            for s in SPLITS
         }
         rng = _np.random.Generator(_np.random.Philox(int(cfg.seed)))
 
         def eval_split(params, split):
-            g = len(self.datasets[split])
-            s = -(-g // bs)
-            idx = _np.zeros((s, bs), _np.int32)
-            valid = _np.zeros((s, bs), _np.float32)
-            flat = _np.arange(g)
-            idx.reshape(-1)[: g] = flat
-            valid.reshape(-1)[: g] = 1.0
-            esum, count = scan_eval(
-                params, data[split], jax.device_put(idx, psh),
-                jax.device_put(valid, psh),
-            )
-            mae = _np.asarray(esum) / max(float(count), 1.0)
+            esum, count = 0.0, 0.0
+            for b, d in buckets[split].items():
+                g = len(d)
+                s = -(-g // bs)
+                idx = _np.zeros((s, bs), _np.int32)
+                valid = _np.zeros((s, bs), _np.float32)
+                idx.reshape(-1)[:g] = _np.arange(g)
+                valid.reshape(-1)[:g] = 1.0
+                e, c = scan_eval(
+                    params, data[split][b], jax.device_put(idx, psh),
+                    jax.device_put(valid, psh),
+                )
+                esum = esum + _np.asarray(e)
+                count += float(c)
+            mae = esum / max(count, 1.0)
             if self.stats is not None:
                 mae = self.stats.unstandardize_mae(mae)
             return mae
 
+        first_bucket = next(iter(data["train"].values()))
         state = init_state(
             self.model,
-            jax.tree.map(
-                lambda x: x[:bs],
-                data["train"],
-            ),
+            jax.tree.map(lambda x: x[:bs], first_bucket),
             tx,
             seed=int(cfg.seed),
         )
@@ -263,25 +319,63 @@ class QM8Runner:
         while epoch < max_epoch:
             group = min(valid_every, max_epoch - epoch)
             t0 = time.perf_counter()
-            perm = _np.concatenate(
-                [
-                    rng.permutation(g_train)[: steps_per_epoch * bs]
-                    for _ in range(group)
-                ]
-            ).reshape(group * steps_per_epoch, bs).astype(_np.int32)
+            all_losses = []
             with trace(
                 Path(cfg.save_dir) / "trace" if epoch == profile_group else None
             ):
-                state, losses = epoch_fn(
-                    state, data["train"], jax.device_put(perm, psh)
-                )
+                if len(data["train"]) == 1:
+                    # single shape: the whole group is ONE program call
+                    (b, d), = data["train"].items()
+                    g_b = len(buckets["train"][b])
+                    steps_b = max(g_b // bs, 1)
+                    perm = _np.concatenate(
+                        [
+                            rng.permutation(g_b)[: steps_b * bs]
+                            for _ in range(group)
+                        ]
+                    ).reshape(group * steps_b, bs).astype(_np.int32)
+                    state, losses = epoch_fn(
+                        state, d, jax.device_put(perm, psh)
+                    )
+                    all_losses = list(
+                        _np.asarray(losses).reshape(group, steps_b)
+                    )
+                else:
+                    # bucketed: batches are size-homogeneous, and long
+                    # same-size training segments measurably hurt quality
+                    # when targets correlate with graph size — so each
+                    # bucket's epoch is cut into short chunks and the
+                    # chunk schedule is shuffled across buckets (program
+                    # per (bucket, chunk-length): ≤2 compiles per bucket)
+                    chunk = int(tcfg.get("bucket_chunk", 4))
+                    for _ in range(group):
+                        pieces = []  # (bucket, [rows, bs] perm slice)
+                        for b, d in data["train"].items():
+                            g_b = len(buckets["train"][b])
+                            steps_b = g_b // bs
+                            if steps_b == 0:
+                                continue
+                            perm = (
+                                rng.permutation(g_b)[: steps_b * bs]
+                                .reshape(steps_b, bs)
+                                .astype(_np.int32)
+                            )
+                            for lo in range(0, steps_b, chunk):
+                                pieces.append((b, perm[lo : lo + chunk]))
+                        rng.shuffle(pieces)
+                        epoch_losses = []
+                        for b, rows in pieces:
+                            state, losses = epoch_fn(
+                                state, data["train"][b],
+                                jax.device_put(rows, psh),
+                            )
+                            epoch_losses.append(_np.asarray(losses))
+                        all_losses.append(_np.concatenate(epoch_losses))
                 jax.block_until_ready(state.params)
             group_time = time.perf_counter() - t0
             epoch_time = group_time / group
             gps = group * steps_per_epoch * bs / group_time
-            per_epoch_loss = _np.asarray(losses).reshape(
-                group, steps_per_epoch
-            ).mean(1)
+            per_epoch_loss = _np.asarray([e.mean() for e in all_losses])
             epoch += group
             for i, lv in enumerate(per_epoch_loss):
                 self.metrics.log(
@@ -403,9 +497,15 @@ class QM8Runner:
         """Evaluate a snapshot (config.test.test_model) on the test split."""
         tcfg = self.config.get("test", {})
         eval_step = make_eval_step(self.model)
-        loader = self._loader("test", shuffle=False, drop_last=False)
-        batch, _ = next(iter(loader.epoch()))
-        batch = jax.tree.map(lambda x: jax.device_put(x, self.sharding), batch)
+        bs = int(self.config.train.batch_size)
+        test_ds = self.datasets["test"]
+        bucketed = isinstance(test_ds, dict)
+        first = self._first(test_ds)
+        jnp_put = lambda x: jax.device_put(x, self.sharding)  # noqa: E731
+        # init only pins shapes/param structure; plain placement suffices
+        batch = jax.tree.map(
+            jax.device_put, first.slice_batch(np.arange(min(bs, len(first))))
+        )
         tx, _ = build_optimizer(self.config.train, 1)
         state = init_state(self.model, batch, tx, seed=int(self.config.seed))
         path = tcfg.get("test_model")
@@ -417,7 +517,23 @@ class QM8Runner:
             raise FileNotFoundError(
                 "no checkpoint: set test.test_model or train first"
             )
-        mae = self._evaluate(eval_step, state.params, "test")
+        if bucketed:
+            esum, count = 0.0, 0.0
+            for ds in test_ds.values():
+                loader = BatchLoader(ds, batch_size=bs, shuffle=False)
+                for b, valid in loader.epoch():
+                    e, c = eval_step(
+                        state.params,
+                        jax.tree.map(jnp_put, b),
+                        jax.device_put(valid, self.sharding),
+                    )
+                    esum = esum + np.asarray(e)
+                    count += float(c)
+            mae = esum / max(count, 1.0)
+            if self.stats is not None:
+                mae = self.stats.unstandardize_mae(mae)
+        else:
+            mae = self._evaluate(eval_step, state.params, "test")
         mean = float(mae.mean())
         self.log.info("test MAE %.6f (per-task %s)", mean, np.round(mae, 6).tolist())
         self.metrics.log("test", mae=mean, per_task=mae.tolist())

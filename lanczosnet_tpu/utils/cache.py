@@ -19,6 +19,11 @@ _DEFAULT = os.path.expanduser("~/.cache/lanczosnet_tpu/xla")
 def enable_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get("LANCZOSNET_TPU_CACHE", _DEFAULT)
     try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT artifacts are machine-feature-specific (the remote
+            # compile service's CPU differs from this host — loading its
+            # cache entries risks SIGILL); CPU compiles are fast anyway.
+            return
         Path(path).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,70 @@
+"""Size-bucketed packing + bucketed scanned training."""
+
+import numpy as np
+import pytest
+
+from lanczosnet_tpu.data.buckets import bucket_of, pack_dataset_bucketed
+from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+from lanczosnet_tpu.train.runner import build_runner
+from tests.test_train import _runner_config
+
+
+def test_bucket_of():
+    assert bucket_of(5, [16, 32]) == 16
+    assert bucket_of(16, [16, 32]) == 16
+    assert bucket_of(17, [16, 32]) == 32
+    with pytest.raises(ValueError, match="largest bucket"):
+        bucket_of(40, [16, 32])
+
+
+def test_pack_dataset_bucketed_partition_and_stats():
+    graphs = synthetic_qm8_graphs(40, seed=0, n_lo=4, n_hi=24)
+    packed, stats = pack_dataset_bucketed(
+        graphs, bounds=[12, 24], standardize=True
+    )
+    assert set(packed) <= {12, 24}
+    assert sum(len(d) for d in packed.values()) == 40
+    for bound, d in packed.items():
+        assert d.n_max == bound
+        # every graph really fits its bucket and none fits a smaller one
+        sizes = d.mask.sum(-1)
+        assert sizes.max() <= bound
+    assert (packed[12].mask.sum(-1) <= 12).all()
+    if 24 in packed:
+        assert (packed[24].mask.sum(-1) > 12).any()
+    # shared standardization: stats fit on the union
+    all_labels = np.stack([g["label"] for g in graphs])
+    np.testing.assert_allclose(stats.mean, all_labels.mean(0), rtol=1e-5)
+    # val/test reuse: same stats object passes through
+    packed2, stats2 = pack_dataset_bucketed(
+        graphs[:10], bounds=[12, 24], standardize=True, stats=stats
+    )
+    assert stats2 is stats
+
+
+def test_runner_bucketed_end_to_end(tmp_path):
+    import pathlib
+
+    cfg = _runner_config(tmp_path, "GCN")
+    cfg.save_dir = str(tmp_path / "bucketed")
+    cfg.dataset.buckets = [8, 12]
+    cfg.dataset.num_train = 48
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    runner = build_runner(cfg)
+    assert isinstance(runner.datasets["train"], dict)
+    res = runner.train()
+    assert np.isfinite(res["best_val_mae"])
+    assert res["test_mae"] is not None
+    res2 = runner.test()
+    assert np.isfinite(res2["test_mae"])
+
+
+def test_runner_bucketed_rejects_per_step(tmp_path):
+    import pathlib
+
+    cfg = _runner_config(tmp_path, "GCN")
+    cfg.save_dir = str(tmp_path / "b2")
+    cfg.dataset.buckets = [8, 12]
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    runner = build_runner(cfg)
+    assert runner._scan_mode()  # buckets force the scanned trainer
