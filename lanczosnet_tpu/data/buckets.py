@@ -45,12 +45,17 @@ def pack_dataset_bucketed(
     bounds: Sequence[int],
     stats: Optional[LabelStats] = None,
     standardize: bool = False,
+    min_count: int = 0,
     **pack_kwargs,
 ) -> tuple[dict[int, PackedDataset], Optional[LabelStats]]:
     """Graph dicts → {bucket_bound: PackedDataset}, shared label stats.
 
     Returns the (possibly fitted) stats so val/test reuse train's.
-    Empty buckets are omitted.
+    Empty buckets are omitted. Buckets holding fewer than ``min_count``
+    graphs are merged upward into the next bound (the trainer passes its
+    batch size here — a bucket smaller than one batch would otherwise
+    never produce a gradient step and its graphs would silently be
+    excluded from training).
     """
     if standardize and stats is None:
         labels = np.stack([np.asarray(g["label"], np.float32) for g in graphs])
@@ -60,6 +65,21 @@ def pack_dataset_bucketed(
         by_bucket.setdefault(
             bucket_of(int(np.asarray(g["atom_type"]).shape[0]), bounds), []
         ).append(g)
+    if min_count > 0:
+        ordered = sorted(by_bucket)
+        for i, bound in enumerate(ordered):
+            if len(by_bucket.get(bound, ())) < min_count and i + 1 < len(ordered):
+                by_bucket.setdefault(ordered[i + 1], []).extend(
+                    by_bucket.pop(bound)
+                )
+        # undersized LARGEST bucket: merge downward into the previous
+        # survivor (repacked at the larger bound so everything fits)
+        ordered = sorted(by_bucket)
+        if (
+            len(ordered) > 1
+            and len(by_bucket[ordered[-1]]) < min_count
+        ):
+            by_bucket[ordered[-1]].extend(by_bucket.pop(ordered[-2]))
     packed = {
         bound: pack_dataset(
             gs, n_max=bound, stats=stats, standardize=standardize, **pack_kwargs

@@ -102,15 +102,19 @@ def import_planetoid(data_dir: str | Path, name: str) -> dict:
 
     def load(part):
         with open(data_dir / f"ind.{name}.{part}", "rb") as fh:
-            if part == "test.index":
-                return np.asarray([int(line) for line in fh], np.int64)
             return pickle.load(fh, encoding="latin1")
 
     x, y, tx, ty, allx, ally, graph = (
         load(p) for p in ("x", "y", "tx", "ty", "allx", "ally", "graph")
     )
     test_idx = np.asarray(
-        [int(line) for line in open(data_dir / f"ind.{name}.test.index")]
+        [
+            int(line)
+            for line in (data_dir / f"ind.{name}.test.index")
+            .read_text()
+            .split()
+        ],
+        np.int64,
     )
 
     def dense(m):

@@ -18,6 +18,7 @@ exactly once, here.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional, Sequence
@@ -26,7 +27,6 @@ import jax
 import numpy as np
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch, batch_graphs
-from lanczosnet_tpu.ops.lanczos import batched_lanczos_ritz
 from lanczosnet_tpu.ops.normalize import build_operator_stack
 
 
@@ -87,17 +87,27 @@ class PackedDataset:
         )
 
 
+@functools.lru_cache(maxsize=None)
+def _ritz_jit(k: int):
+    """Module-cached jitted Ritz precompute (avoids a fresh jit wrapper —
+    and a full retrace — on every pack/serve call)."""
+    from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
+
+    return jax.jit(lambda s, m: batched_lanczos_ritz_dispatch(s, m, k))
+
+
 def _chunked_ritz(ops0: np.ndarray, mask: np.ndarray, k: int, chunk: int = 256):
     """Run the batched Lanczos precompute in fixed-size device chunks.
 
-    Pads the tail chunk so exactly one program is compiled regardless of
-    dataset size (jit caches on shape).
+    The tail chunk is padded so at most two program shapes exist per K
+    (jit caches on shape); small inputs use their own size instead of
+    padding 4x to the default chunk (the serving hot path packs
+    batch-size requests).
     """
     g = ops0.shape[0]
+    chunk = min(chunk, g) or 1
     vals, vecs = [], []
-    from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
-
-    fn = jax.jit(lambda s, m: batched_lanczos_ritz_dispatch(s, m, k))
+    fn = _ritz_jit(k)
     for lo in range(0, g, chunk):
         s = ops0[lo : lo + chunk]
         m = mask[lo : lo + chunk]

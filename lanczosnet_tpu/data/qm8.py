@@ -162,9 +162,18 @@ def import_reference_pickles(path: str | Path) -> list[dict]:
         if adj.ndim == 2:
             adj = adj[None]
         # channel axis: the one whose size differs from the two equal
-        # node axes (handles both [E,n,n] and the reference's [n,n,E(+1)])
-        if adj.ndim == 3 and adj.shape[0] == adj.shape[1] != adj.shape[2]:
-            adj = np.moveaxis(adj, -1, 0)
+        # node axes (handles both [E,n,n] and the reference's [n,n,E(+1)]);
+        # when all three sizes coincide (n == E), pick the layout whose
+        # per-channel matrices are symmetric — adjacency always is
+        if adj.ndim == 3:
+            if adj.shape[0] == adj.shape[1] == adj.shape[2]:
+                as_first = adj
+                as_last = np.moveaxis(adj, -1, 0)
+                sym_first = np.abs(as_first - as_first.transpose(0, 2, 1)).max()
+                sym_last = np.abs(as_last - as_last.transpose(0, 2, 1)).max()
+                adj = as_first if sym_first <= sym_last else as_last
+            elif adj.shape[0] == adj.shape[1] != adj.shape[2]:
+                adj = np.moveaxis(adj, -1, 0)
         if adj.shape[1] != adj.shape[2]:
             raise ValueError(f"cannot identify node axes in adj {adj.shape}")
         label = np.asarray(pick(rec, ("label", "target", "y"))).reshape(-1)

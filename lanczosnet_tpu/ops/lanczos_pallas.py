@@ -47,14 +47,27 @@ from lanczosnet_tpu.ops.lanczos import (
 _VMEM_BUDGET = 6 * 1024 * 1024  # bytes of VMEM we allow the S tile to take
 
 
-def _pick_tile(b: int, n: int) -> int:
-    """Graphs per program. Mosaic requires the alpha/beta output block's
-    lane dim (graphs) to be 128-divisible or span the whole array, so
-    the tile is either ALL graphs (one program; molecular problems fit
-    VMEM easily) or 128 (grid over 128-graph tiles)."""
-    if b * n * n * 4 <= _VMEM_BUDGET:
+def _tile_bytes(g: int, n: int, k: int) -> int:
+    """Per-program VMEM of the dominant buffers: S [g,n,n] + Q [g,k,n]."""
+    return 4 * g * n * (n + k)
+
+
+def _pick_tile(b: int, n: int, k: int) -> int:
+    """Graphs per program, or 0 if the kernel is infeasible for (n, k).
+
+    Mosaic requires the alpha/beta output block's lane dim (graphs) to
+    be 128-divisible or span the whole array, so the tile is either ALL
+    graphs (one program; molecular problems fit VMEM easily) or a
+    multiple of 128 that fits the VMEM budget. Beyond molecular n the
+    per-graph state alone outgrows VMEM — callers
+    (`batched_lanczos_ritz_dispatch`) fall back to the scan
+    implementation then."""
+    if _tile_bytes(b, n, k) <= _VMEM_BUDGET:
         return b
-    return 128
+    tiles = _VMEM_BUDGET // max(_tile_bytes(128, n, k), 1)
+    if tiles >= 1:
+        return int(tiles) * 128
+    return 0
 
 
 def _lanczos_kernel(s_ref, q0_ref, alpha_ref, beta_ref, q_ref, *, k: int,
@@ -122,7 +135,13 @@ def lanczos_tridiag_pallas(
     """Batched tridiagonalization: s [B,N,N], mask [B,N] →
     (alphas [B,k], betas [B,k-1], q [B,k,N])."""
     b, n, _ = s.shape
-    g_tile = _pick_tile(b, n)
+    g_tile = _pick_tile(b, n, k)
+    if g_tile == 0:
+        raise ValueError(
+            f"Lanczos Pallas kernel infeasible for n={n}, k={k} (per-graph "
+            "state exceeds VMEM); use the lax.scan implementation "
+            "(ops.lanczos.batched_lanczos_ritz / impl='scan')"
+        )
     pad = (-b) % g_tile
     if pad:
         s = jnp.concatenate([s, jnp.zeros((pad, n, n), s.dtype)])
@@ -211,7 +230,12 @@ def batched_lanczos_ritz_dispatch(
     scan is the correctness baseline). "pallas"/"scan" force a path.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "scan"
+        feasible = _pick_tile(s.shape[0], s.shape[1], k) > 0
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and feasible
+            else "scan"
+        )
     if impl == "pallas":
         return batched_lanczos_ritz_fast(s, mask, k, eps)
     return batched_lanczos_ritz(s, mask, k, eps)

@@ -38,8 +38,10 @@ class Predictor:
         n_max: int,
         batch_size: int = 64,
         num_eig_vec: int = 0,
+        num_cluster: int = 0,
         operator_kind: str = "sym",
         stats: Optional[LabelStats] = None,
+        num_task: int = 16,
     ):
         enable_compilation_cache()
         self.model = model
@@ -47,8 +49,10 @@ class Predictor:
         self.n_max = n_max
         self.batch_size = batch_size
         self.num_eig_vec = num_eig_vec
+        self.num_cluster = num_cluster
         self.operator_kind = operator_kind
         self.stats = stats
+        self.num_task = num_task
         self._apply = jax.jit(
             lambda p, b: model.apply({"params": p}, b, deterministic=True)
         )
@@ -69,6 +73,11 @@ class Predictor:
             if mcfg["name"] == "LanczosNet"
             else 0
         )
+        # GPNN propagates over partition pair masks — serving must pack
+        # with the same cluster assignments as training
+        num_cluster = (
+            int(mcfg.get("num_partition", 2)) if mcfg["name"] == "GPNN" else 0
+        )
         # label width + stats come from one pack of a probe graph set at
         # train time; the snapshot's param shapes pin everything else.
         from lanczosnet_tpu.data.qm8 import NUM_TASK, synthetic_qm8_graphs
@@ -80,6 +89,7 @@ class Predictor:
             synthetic_qm8_graphs(2, seed=0, n_lo=4, n_hi=min(8, n_max)),
             n_max=n_max,
             num_eig_vec=num_eig,
+            num_cluster=num_cluster,
             operator_kind=cfg.dataset.get("operator_kind", "sym"),
         )
         batch = jax.tree.map(np.asarray, probe.slice_batch(np.arange(2)))
@@ -98,22 +108,27 @@ class Predictor:
             rng=jax.random.PRNGKey(0),
         )
         state = ck.restore(tag, template)
-        # training-split label stats for unstandardized outputs
+        # training-split label stats for unstandardized outputs; the
+        # "best" tag always carries them, other tags fall back to it
         stats = None
-        meta = ck.meta(tag) or {}
-        if "label_mean" in meta:
-            stats = LabelStats(
-                mean=np.asarray(meta["label_mean"]),
-                std=np.asarray(meta["label_std"]),
-            )
+        for meta_tag in (tag, "best"):
+            meta = ck.meta(meta_tag) or {}
+            if "label_mean" in meta:
+                stats = LabelStats(
+                    mean=np.asarray(meta["label_mean"]),
+                    std=np.asarray(meta["label_std"]),
+                )
+                break
         return cls(
             model,
             state.params,
             n_max=n_max,
             batch_size=batch_size,
             num_eig_vec=num_eig,
+            num_cluster=num_cluster,
             operator_kind=cfg.dataset.get("operator_kind", "sym"),
             stats=stats,
+            num_task=mcfg["num_task"],
         )
 
     def predict(self, graphs: Sequence[dict]) -> np.ndarray:
@@ -121,10 +136,10 @@ class Predictor:
         units when train-time stats are available)."""
         out = []
         bs = self.batch_size
-        graphs = [
-            g if "label" in g else {**g, "label": np.zeros(1, np.float32)}
-            for g in graphs
-        ]
+        # labels are irrelevant at inference; normalize to one shape so
+        # mixed labeled/unlabeled requests pack cleanly
+        dummy = np.zeros(self.num_task, np.float32)
+        graphs = [{**g, "label": dummy} for g in graphs]
         for lo in range(0, len(graphs), bs):
             chunk = list(graphs[lo : lo + bs])
             real = len(chunk)
@@ -134,6 +149,7 @@ class Predictor:
                 chunk,
                 n_max=self.n_max,
                 num_eig_vec=self.num_eig_vec,
+                num_cluster=self.num_cluster,
                 operator_kind=self.operator_kind,
             )
             batch = jax.tree.map(np.asarray, ds.slice_batch(np.arange(bs)))

@@ -146,6 +146,7 @@ class QM8Runner:
         if buckets:
             from lanczosnet_tpu.data.buckets import pack_dataset_bucketed
 
+            bs = int(self.config.train.batch_size)
             for s in SPLITS:
                 out[s], stats = pack_dataset_bucketed(
                     raw[s],
@@ -155,6 +156,8 @@ class QM8Runner:
                     num_cluster=self.num_cluster,
                     stats=stats,
                     standardize=standardize,
+                    # sub-batch train buckets would never yield a step
+                    min_count=bs if s == "train" else 0,
                 )
             return out
         for s in SPLITS:
@@ -215,10 +218,12 @@ class QM8Runner:
         return nbytes < 2 * 1024**3  # device-resident if the split fits
 
 
-    def _best_meta(self, epoch: int, val_mae: float) -> dict:
-        """Best-snapshot metadata; includes label stats so serve.Predictor
-        can return original-unit predictions."""
-        meta = {"epoch": epoch, "val_mae": val_mae}
+    def _best_meta(self, epoch: int, val_mae: float = None) -> dict:
+        """Snapshot metadata; includes label stats so serve.Predictor
+        can return original-unit predictions from any tag."""
+        meta = {"epoch": epoch}
+        if val_mae is not None:
+            meta["val_mae"] = val_mae
         if self.stats is not None:
             meta["label_mean"] = np.asarray(self.stats.mean).tolist()
             meta["label_std"] = np.asarray(self.stats.std).tolist()
@@ -248,9 +253,13 @@ class QM8Runner:
 
         buckets = {s: as_buckets(self.datasets[s]) for s in SPLITS}
         g_train = sum(len(d) for d in buckets["train"].values())
-        steps_per_epoch = sum(
-            max(len(d) // bs, 0) for d in buckets["train"].values()
-        ) or 1
+        steps_per_epoch = sum(len(d) // bs for d in buckets["train"].values())
+        if steps_per_epoch == 0:
+            raise ValueError(
+                f"train.batch_size={bs} exceeds every train bucket "
+                f"(sizes {[len(d) for d in buckets['train'].values()]}); "
+                "shrink the batch or grow the dataset"
+            )
         tx, schedule = build_optimizer(tcfg, steps_per_epoch)
         epoch_fn = make_scan_train_epoch(self.model, tx)
         scan_eval = make_scan_eval(self.model)
@@ -295,15 +304,19 @@ class QM8Runner:
         state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
 
         start_epoch = 0
+        best_val = float("inf")
         if tcfg.get("is_resume") and self.ckpt.exists("latest"):
             state = self.ckpt.restore("latest", state)
             meta = self.ckpt.meta("latest") or {}
             start_epoch = int(meta.get("epoch", 0)) + 1
-            self.log.info("resumed from epoch %d", start_epoch)
+            best_meta = self.ckpt.meta("best") or {}
+            best_val = float(best_meta.get("val_mae", float("inf")))
+            self.log.info(
+                "resumed from epoch %d (best val so far %.6f)",
+                start_epoch, best_val,
+            )
         elif tcfg.get("resume_model"):
             state = Checkpointer.restore_file(tcfg["resume_model"], state)
-
-        best_val = float("inf")
         valid_every = int(tcfg.get("valid_epoch", 1))
         max_epoch = int(tcfg.get("max_epoch", 10))
         self.log.info(
@@ -327,7 +340,7 @@ class QM8Runner:
                     # single shape: the whole group is ONE program call
                     (b, d), = data["train"].items()
                     g_b = len(buckets["train"][b])
-                    steps_b = max(g_b // bs, 1)
+                    steps_b = g_b // bs  # > 0, guarded above
                     perm = _np.concatenate(
                         [
                             rng.permutation(g_b)[: steps_b * bs]
@@ -398,7 +411,7 @@ class QM8Runner:
                 self.ckpt.save(
                     "best", state, self._best_meta(epoch - 1, mean_mae)
                 )
-            self.ckpt.save("latest", state, {"epoch": epoch - 1})
+            self.ckpt.save("latest", state, self._best_meta(epoch - 1))
 
         test_mae = None
         if self.ckpt.exists("best"):
@@ -413,7 +426,12 @@ class QM8Runner:
         tcfg = cfg.train
         train_loader = self._loader("train", shuffle=bool(tcfg.get("shuffle", True)),
                                     drop_last=True)
-        steps_per_epoch = max(len(train_loader), 1)
+        steps_per_epoch = len(train_loader)
+        if steps_per_epoch == 0:
+            raise ValueError(
+                f"train.batch_size={tcfg.batch_size} exceeds the train split "
+                f"({self._total(self.datasets['train'])} graphs)"
+            )
         tx, schedule = build_optimizer(tcfg, steps_per_epoch)
         train_step = make_train_step(self.model, tx)
         eval_step = make_eval_step(self.model)
@@ -423,16 +441,20 @@ class QM8Runner:
         state = init_state(self.model, example, tx, seed=int(cfg.seed))
 
         start_epoch = 0
+        best_val = float("inf")
         if tcfg.get("is_resume") and self.ckpt.exists("latest"):
             state = self.ckpt.restore("latest", state)
             meta = self.ckpt.meta("latest") or {}
             start_epoch = int(meta.get("epoch", 0)) + 1
-            self.log.info("resumed from epoch %d", start_epoch)
+            best_meta = self.ckpt.meta("best") or {}
+            best_val = float(best_meta.get("val_mae", float("inf")))
+            self.log.info(
+                "resumed from epoch %d (best val so far %.6f)",
+                start_epoch, best_val,
+            )
         elif tcfg.get("resume_model"):
             state = Checkpointer.restore_file(tcfg["resume_model"], state)
             self.log.info("warm-started from %s", tcfg["resume_model"])
-
-        best_val = float("inf")
         display_iter = int(tcfg.get("display_iter", 50))
         valid_every = int(tcfg.get("valid_epoch", 1))
         max_epoch = int(tcfg.get("max_epoch", 10))
@@ -482,7 +504,7 @@ class QM8Runner:
                     self.ckpt.save(
                         "best", state, self._best_meta(epoch, mean_mae)
                     )
-            self.ckpt.save("latest", state, {"epoch": epoch})
+            self.ckpt.save("latest", state, self._best_meta(epoch))
 
         test_mae = None
         if self.ckpt.exists("best"):

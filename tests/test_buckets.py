@@ -68,3 +68,28 @@ def test_runner_bucketed_rejects_per_step(tmp_path):
     pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
     runner = build_runner(cfg)
     assert runner._scan_mode()  # buckets force the scanned trainer
+
+
+def test_small_bucket_merged_upward():
+    from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+
+    graphs = synthetic_qm8_graphs(60, seed=1, n_lo=4, n_hi=24)
+    packed, _ = pack_dataset_bucketed(
+        graphs, bounds=[6, 24], min_count=32, standardize=True
+    )
+    # the tiny 6-bucket merges into 24; nothing is silently dropped
+    assert sum(len(d) for d in packed.values()) == 60
+    for d in packed.values():
+        assert len(d) >= 32
+
+
+def test_batch_size_exceeding_split_raises(tmp_path):
+    import pathlib
+
+    cfg = _runner_config(tmp_path, "GCN")
+    cfg.save_dir = str(tmp_path / "toosmall")
+    cfg.dataset.num_train = 4
+    cfg.train.batch_size = 16
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    with pytest.raises(ValueError, match="batch_size"):
+        build_runner(cfg).train()

@@ -183,3 +183,35 @@ def test_sgd_momentum_and_lr_decay():
     g = {"w": jnp.ones(3)}
     up, st = tx.update(g, st, params)
     np.testing.assert_allclose(np.asarray(up["w"]), -0.1 * np.ones(3), rtol=1e-6)
+
+
+def test_resume_preserves_best(tmp_path):
+    """Resume must not let a worse post-resume epoch overwrite 'best'."""
+    import pathlib
+    import json
+
+    cfg = _runner_config(tmp_path, "GCN")
+    cfg.save_dir = str(tmp_path / "resbest")
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    runner = build_runner(cfg)
+    runner.train()
+    best_before = runner.ckpt.meta("best")["val_mae"]
+    # fake an excellent historical best; resume must respect it
+    meta_path = pathlib.Path(cfg.save_dir) / "checkpoints" / "best.meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["val_mae"] = 1e-9
+    meta_path.write_text(json.dumps(meta))
+    payload = (
+        pathlib.Path(cfg.save_dir) / "checkpoints" / "best.msgpack"
+    ).read_bytes()
+
+    cfg2 = _runner_config(tmp_path, "GCN")
+    cfg2.save_dir = cfg.save_dir
+    cfg2.train.is_resume = True
+    cfg2.train.max_epoch = 3
+    build_runner(cfg2).train()
+    # snapshot unchanged: no post-resume epoch beat 1e-9
+    assert (
+        pathlib.Path(cfg.save_dir) / "checkpoints" / "best.msgpack"
+    ).read_bytes() == payload
+    assert best_before >= 0
