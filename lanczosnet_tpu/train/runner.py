@@ -412,6 +412,11 @@ class QM8Runner:
                     "best", state, self._best_meta(epoch - 1, mean_mae)
                 )
             self.ckpt.save("latest", state, self._best_meta(epoch - 1))
+            snap = int(tcfg.get("snapshot_epoch", 0))
+            if snap and epoch % snap == 0:  # reference-style periodic tags
+                self.ckpt.save(
+                    f"epoch_{epoch - 1}", state, self._best_meta(epoch - 1)
+                )
 
         test_mae = None
         if self.ckpt.exists("best"):
@@ -505,6 +510,9 @@ class QM8Runner:
                         "best", state, self._best_meta(epoch, mean_mae)
                     )
             self.ckpt.save("latest", state, self._best_meta(epoch))
+            snap = int(tcfg.get("snapshot_epoch", 0))
+            if snap and (epoch + 1) % snap == 0:
+                self.ckpt.save(f"epoch_{epoch}", state, self._best_meta(epoch))
 
         test_mae = None
         if self.ckpt.exists("best"):

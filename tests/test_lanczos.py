@@ -213,3 +213,35 @@ def test_vs_scipy_tridiagonal(n_valid):
     ours = np.sort(np.asarray(safe_eigh(tridiag_matrix(jnp.asarray(alphas), jnp.asarray(betas)))[0]))
     sp = np.sort(scipy.linalg.eigh_tridiagonal(alphas, betas, eigvals_only=True))
     np.testing.assert_allclose(ours, sp, atol=1e-5)
+
+
+def test_grad_matches_finite_differences():
+    """SURVEY.md §4: custom-VJP/autodiff grad check vs finite differences
+    on a small masked operator, including a padded graph."""
+    rng = np.random.default_rng(7)
+    n, k = 6, 4
+    s = rng.standard_normal((2, n, n)).astype(np.float32) * 0.3
+    s = 0.5 * (s + s.transpose(0, 2, 1))
+    mask = np.ones((2, n), np.float32)
+    mask[1, 4:] = 0.0
+    s[1, 4:, :] = 0.0
+    s[1, :, 4:] = 0.0
+    s = jnp.asarray(s)
+    maskj = jnp.asarray(mask)
+
+    def loss(sv):
+        d, v = batched_lanczos_ritz(sv, maskj, k)
+        return jnp.sum(d**2) + jnp.sum(v**4)
+
+    g = np.asarray(jax.grad(loss)(s))
+    eps = 3e-3
+    rng2 = np.random.default_rng(8)
+    for _ in range(6):
+        direction = rng2.standard_normal(s.shape).astype(np.float32)
+        direction = 0.5 * (direction + direction.transpose(0, 2, 1))
+        direction[1, 4:, :] = 0.0
+        direction[1, :, 4:] = 0.0
+        dj = jnp.asarray(direction)
+        fd = (float(loss(s + eps * dj)) - float(loss(s - eps * dj))) / (2 * eps)
+        an = float(np.sum(g * direction))
+        assert abs(fd - an) < 5e-2 * max(abs(fd), abs(an), 1.0), (fd, an)

@@ -120,3 +120,26 @@ def test_fast_vjp_matches_scan_grad():
     g_scan = jax.grad(loss_scan)(s)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_scan),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_pick_tile_vmem_rules():
+    from lanczosnet_tpu.ops.lanczos_pallas import _VMEM_BUDGET, _pick_tile, _tile_bytes
+
+    # molecular shapes: one program over all graphs
+    assert _pick_tile(256, 32, 20) == 256
+    # big batch, small n: multiple-of-128 tiles fitting the budget
+    t = _pick_tile(100_000, 32, 20)
+    assert t % 128 == 0 and _tile_bytes(t, 32, 20) <= _VMEM_BUDGET
+    # n too large for even one 128-graph tile: infeasible -> 0
+    assert _pick_tile(4, 2708, 20) == 0
+
+
+def test_dispatch_falls_back_when_infeasible():
+    from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
+
+    # runs (on any backend) because auto resolves to the scan path
+    n = 300  # > VMEM-feasible for a 128-tile at this n
+    s = jnp.zeros((1, n, n))
+    mask = jnp.ones((1, n))
+    d, v = batched_lanczos_ritz_dispatch(s, mask, 8, impl="auto")
+    assert np.isfinite(np.asarray(d)).all()

@@ -215,3 +215,20 @@ def test_resume_preserves_best(tmp_path):
         pathlib.Path(cfg.save_dir) / "checkpoints" / "best.msgpack"
     ).read_bytes() == payload
     assert best_before >= 0
+
+
+def test_snapshot_epoch_tags(tmp_path):
+    import pathlib
+
+    cfg = _runner_config(tmp_path, "GCN")
+    cfg.save_dir = str(tmp_path / "snaps")
+    cfg.train.max_epoch = 4
+    cfg.train.snapshot_epoch = 2
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    runner = build_runner(cfg)
+    runner.train()
+    tags = sorted(
+        p.stem for p in (pathlib.Path(cfg.save_dir) / "checkpoints").glob("*.msgpack")
+    )
+    assert "best" in tags and "latest" in tags
+    assert any(t.startswith("epoch_") for t in tags)
