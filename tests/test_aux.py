@@ -92,3 +92,40 @@ def test_runner_seed_determinism(tmp_path):
         results.append(build_runner(cfg).train())
     assert results[0]["best_val_mae"] == results[1]["best_val_mae"]
     assert results[0]["test_mae"] == results[1]["test_mae"]
+
+
+def test_scanned_epoch_nan_clean_under_sanitizer():
+    """One scanned LanczosNet epoch with jax_debug_nans on: the whole
+    train path (spectral precompute included) must produce no NaNs."""
+    import jax.numpy as jnp
+
+    from lanczosnet_tpu.data.dataset import pack_dataset
+    from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+    from lanczosnet_tpu.models import build_model
+    from lanczosnet_tpu.train.optim import build_optimizer
+    from lanczosnet_tpu.train.scan_epoch import (
+        device_dataset,
+        gather_batch,
+        make_scan_train_epoch,
+    )
+    from lanczosnet_tpu.train.step import init_state
+
+    with debug_nans(True):
+        ds = pack_dataset(
+            synthetic_qm8_graphs(16, seed=0, n_lo=4, n_hi=8),
+            n_max=10, num_eig_vec=4, standardize=True,
+        )
+        data = device_dataset(ds)
+        model = build_model(
+            {"name": "LanczosNet", "num_atom": 8, "num_task": 16,
+             "hidden_dim": [16], "embed_dim": 16, "num_eig_vec": 4,
+             "short_diffusion_dist": [1], "long_diffusion_dist": [3],
+             "dropout": 0.1}
+        )
+        tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+        state = init_state(model, gather_batch(data, jnp.arange(8)), tx, seed=0)
+        epoch_fn = make_scan_train_epoch(model, tx)
+        perm = jnp.arange(16, dtype=jnp.int32).reshape(2, 8)
+        state, losses = epoch_fn(state, data, perm)
+        jax.block_until_ready(losses)
+    assert np.isfinite(np.asarray(losses)).all()

@@ -134,8 +134,15 @@ def _runner_config(tmp_path, model_name, **model_kw):
     "name,kw",
     [
         ("GCN", {}),
+        ("ChebyNet", {"poly_order": 3}),
+        ("DCNN", {"max_hop": 3}),
+        ("GAT", {"num_heads": 2}),
+        ("GraphSAGE", {}),
+        ("MPNN", {"num_prop": 2}),
         ("LanczosNet", {"num_eig_vec": 4, "short_diffusion_dist": [1, 2],
                         "long_diffusion_dist": [3, 5]}),
+        ("AdaLanczosNet", {"num_eig_vec": 4, "short_diffusion_dist": [1, 2],
+                           "long_diffusion_dist": [3, 5], "kernel_dim": 8}),
         ("GPNN", {"num_partition": 2}),
     ],
 )
