@@ -72,36 +72,33 @@ def lanczos_start_vector(mask: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return v / norm
 
 
-@partial(jax.jit, static_argnames=("k",))
-def lanczos_tridiag(
-    s: jnp.ndarray,
+def lanczos_tridiag_matvec(
+    matvec,
     mask: jnp.ndarray,
     k: int,
     eps: float = 1e-6,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """K-step Lanczos on one symmetric operator.
+    """K-step Lanczos driven by an operator *callback* — the operator
+    never needs to exist as a dense matrix, which is what makes the
+    sparse full-graph path (`ops/sparse.py`) reuse this exact recursion.
 
     Args:
-      s: ``[N, N]`` symmetric operator with zeroed padded rows/cols.
+      matvec: ``[N] -> [N]`` symmetric linear operator application.
       mask: ``[N]`` node mask (1 real / 0 pad).
       k: number of Lanczos steps (static).
       eps: breakdown threshold on β.
 
-    Returns:
-      alphas ``[k]``, betas ``[k-1]`` (off-diagonal), q ``[k, N]``
-      (orthonormal Lanczos vectors as rows; zero rows after breakdown).
+    Returns: same contract as :func:`lanczos_tridiag`.
     """
-    n = s.shape[0]
-    dtype = s.dtype
-    mask = mask.astype(dtype)
-
+    n = mask.shape[0]
+    dtype = mask.dtype
     q0 = lanczos_start_vector(mask, eps).astype(dtype)
     q_buf = jnp.zeros((k, n), dtype).at[0].set(q0)
 
     def step(carry, j):
         q_buf, beta_prev, q_prev = carry
         q_j = q_buf[j]
-        w = s @ q_j
+        w = matvec(q_j)
         alpha = jnp.dot(q_j, w)
         w = w - alpha * q_j - beta_prev * q_prev
         # Full reorthogonalization, two classical Gram-Schmidt passes.
@@ -124,6 +121,30 @@ def lanczos_tridiag(
         step, (q_buf, jnp.zeros((), dtype), jnp.zeros((n,), dtype)), jnp.arange(k)
     )
     return alphas, betas[:-1], q_buf
+
+
+@partial(jax.jit, static_argnames=("k",))
+def lanczos_tridiag(
+    s: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    eps: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """K-step Lanczos on one dense symmetric operator.
+
+    Args:
+      s: ``[N, N]`` symmetric operator with zeroed padded rows/cols.
+      mask: ``[N]`` node mask (1 real / 0 pad).
+      k: number of Lanczos steps (static).
+      eps: breakdown threshold on β.
+
+    Returns:
+      alphas ``[k]``, betas ``[k-1]`` (off-diagonal), q ``[k, N]``
+      (orthonormal Lanczos vectors as rows; zero rows after breakdown).
+    """
+    return lanczos_tridiag_matvec(
+        lambda v: s @ v, mask.astype(s.dtype), k, eps
+    )
 
 
 def tridiag_matrix(alphas: jnp.ndarray, betas: jnp.ndarray) -> jnp.ndarray:

@@ -576,7 +576,17 @@ def _citation_runner(config):
     return CitationRunner(config)
 
 
-RUNNER_REGISTRY = {"QM8Runner": QM8Runner, "CitationRunner": _citation_runner}
+def _sparse_citation_runner(config):
+    from lanczosnet_tpu.train.sparse_citation_runner import SparseCitationRunner
+
+    return SparseCitationRunner(config)
+
+
+RUNNER_REGISTRY = {
+    "QM8Runner": QM8Runner,
+    "CitationRunner": _citation_runner,
+    "SparseCitationRunner": _sparse_citation_runner,
+}
 
 
 def build_runner(config):
