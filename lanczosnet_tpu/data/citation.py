@@ -96,6 +96,73 @@ def synthetic_citation_graph(
     }
 
 
+def synthetic_citation_edges(
+    n: int,
+    num_class: int = 10,
+    feat_dim: int = 256,
+    avg_degree: float = 5.0,
+    homophily: float = 0.75,
+    seed: int = 0,
+    feat_density: float = 0.02,
+) -> dict:
+    """O(E) SBM-like generator for LARGE graphs (the dense-probability
+    generator above materializes an [N, N] matrix and stops scaling
+    around Pubmed size). Returns the standard dict schema but with
+    ``edges [E, 2]`` instead of a dense ``adj`` — consumed by the
+    sparse path (`ops.sparse.sparse_sym_operator`)."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    labels = rng.integers(0, num_class, size=n).astype(np.int32)
+    by_class = [np.nonzero(labels == c)[0] for c in range(num_class)]
+
+    m = int(n * avg_degree / 2)
+    src = rng.integers(0, n, size=m)
+    same = rng.random(m) < homophily
+    dst = np.empty(m, np.int64)
+    for c in range(num_class):
+        pool = by_class[c]
+        sel = same & (labels[src] == c)
+        if sel.any() and len(pool):
+            dst[sel] = pool[rng.integers(0, len(pool), size=int(sel.sum()))]
+    rand_sel = ~same
+    dst[rand_sel] = rng.integers(0, n, size=int(rand_sel.sum()))
+    keep = src != dst
+    edges = np.unique(
+        np.sort(np.stack([src[keep], dst[keep]], 1), axis=1), axis=0
+    )
+
+    centroids = (rng.random((num_class, feat_dim)) < feat_density * 3).astype(
+        np.float32
+    )
+    features = centroids[labels] * (
+        rng.random((n, feat_dim)) < 0.5
+    ) + (rng.random((n, feat_dim)) < feat_density)
+    features = features.astype(np.float32)
+    features /= np.maximum(features.sum(1, keepdims=True), 1.0)
+
+    train_mask = np.zeros(n, bool)
+    for c in range(num_class):
+        pool = by_class[c]
+        if len(pool):
+            train_mask[
+                rng.choice(pool, size=min(20, len(pool)), replace=False)
+            ] = True
+    rest = np.nonzero(~train_mask)[0]
+    rng.shuffle(rest)
+    val_mask = np.zeros(n, bool)
+    test_mask = np.zeros(n, bool)
+    val_mask[rest[:500]] = True
+    test_mask[rest[500:1500]] = True
+    return {
+        "features": features,
+        "labels": labels,
+        "edges": edges.astype(np.int64),
+        "train_mask": train_mask,
+        "val_mask": val_mask,
+        "test_mask": test_mask,
+        "num_class": num_class,
+    }
+
+
 def import_planetoid(data_dir: str | Path, name: str) -> dict:
     """Load the classic Planetoid file set into the same dict schema."""
     data_dir = Path(data_dir)

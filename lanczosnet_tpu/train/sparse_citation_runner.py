@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from lanczosnet_tpu.data.citation import import_planetoid, synthetic_citation_graph
+from lanczosnet_tpu.data.citation import (
+    import_planetoid,
+    synthetic_citation_edges,
+    synthetic_citation_graph,
+)
 from lanczosnet_tpu.models.sparse_nodes import SparseGCN, SparseLanczosNet
 from lanczosnet_tpu.ops.sparse import sparse_lanczos_ritz, sparse_sym_operator
 from lanczosnet_tpu.train.checkpoint import Checkpointer
@@ -41,8 +45,18 @@ class SparseCitationRunner:
         self.ckpt = Checkpointer(self.run_dir)
 
         dcfg = config.dataset
-        if dcfg.get("source", "synthetic") == "planetoid":
+        source = dcfg.get("source", "synthetic")
+        if source == "planetoid":
             graph = import_planetoid(dcfg["data_dir"], dcfg["name"])
+        elif source == "synthetic_edges":
+            # O(E) generator for beyond-Pubmed scale (no dense adj ever)
+            graph = synthetic_citation_edges(
+                int(dcfg.get("num_nodes", 100_000)),
+                num_class=int(dcfg.get("num_class", 10)),
+                feat_dim=int(dcfg.get("feat_dim", 256)),
+                avg_degree=float(dcfg.get("avg_degree", 5.0)),
+                seed=int(dcfg.get("seed", 7)),
+            )
         else:
             graph = synthetic_citation_graph(
                 dcfg.get("name", "cora"),
@@ -50,7 +64,11 @@ class SparseCitationRunner:
                 scale=float(dcfg.get("scale", 1.0)),
             )
         n = graph["features"].shape[0]
-        edges = np.argwhere(np.triu(graph["adj"], 1) > 0)
+        edges = (
+            graph["edges"]
+            if "edges" in graph
+            else np.argwhere(np.triu(graph["adj"], 1) > 0)
+        )
         self.op = sparse_sym_operator(edges, n)
         self.x = jnp.asarray(graph["features"])
         self.labels = jnp.asarray(graph["labels"].astype(np.int32))

@@ -91,3 +91,41 @@ def test_sparse_citation_runner_end_to_end(tmp_path, name, kw):
     res = build_runner(cfg).train()
     assert res["best_val_acc"] > 1.0 / 7 + 0.05  # beats class prior
     assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_synthetic_edges_generator():
+    from lanczosnet_tpu.data.citation import synthetic_citation_edges
+
+    g = synthetic_citation_edges(2000, num_class=5, feat_dim=32, seed=1)
+    e = g["edges"]
+    assert e.ndim == 2 and e.shape[1] == 2
+    assert (e[:, 0] != e[:, 1]).all()
+    assert (e[:, 0] < e[:, 1]).all()  # canonical undirected form, deduped
+    assert g["features"].shape == (2000, 32)
+    # homophily holds
+    lab = g["labels"]
+    same = (lab[e[:, 0]] == lab[e[:, 1]]).mean()
+    assert same > 0.5
+    assert g["train_mask"].sum() == 5 * 20
+
+
+def test_sparse_runner_synthetic_edges(tmp_path):
+    import pathlib
+
+    cfg = AttrDict.convert(
+        {
+            "exp_name": "sp_edges",
+            "runner": "SparseCitationRunner",
+            "seed": 0,
+            "save_dir": str(tmp_path / "edges"),
+            "dataset": {"source": "synthetic_edges", "num_nodes": 3000,
+                        "num_class": 5, "feat_dim": 32},
+            "model": {"name": "GCN", "hidden_dim": [32]},
+            "train": {"optimizer": "Adam", "lr": 1e-2, "max_epoch": 30,
+                      "patience": 30, "display_iter": 20},
+            "test": {},
+        }
+    )
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    res = build_runner(cfg).train()
+    assert res["best_val_acc"] > 1.0 / 5 + 0.05
