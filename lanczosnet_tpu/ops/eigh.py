@@ -58,18 +58,42 @@ def _bwd(res, grads, eps: float = 1e-6):
 safe_eigh.defvjp(_fwd, _bwd)
 
 
+# Fixed-sweep Jacobi is validated to ~1e-6 off-diagonal mass at
+# 8 sweeps for K ≤ 32 (ops/jacobi.py docstring). Larger K needs more
+# sweeps; past this bound "auto" falls back to safe_eigh rather than
+# silently degrading Ritz accuracy.
+_JACOBI_MAX_K = 64
+
+
+def _jacobi_sweeps(k: int) -> int:
+    """Sweep count for ~1e-6 convergence: 8 through K=32, then +1 sweep
+    per additional 16 columns (Jacobi converges quadratically, so the
+    growth is mild; validated in tests/test_jacobi.py)."""
+    return 8 + max(0, (k - 32 + 15) // 16)
+
+
 def eigh_dispatch(a: jnp.ndarray, impl: str = "auto"):
     """Select the symmetric eigensolver.
 
     "auto" uses the batched Jacobi sweeps (`ops/jacobi.py`) on TPU —
     XLA's QR-iteration eigh dominates the Ritz path there (measured
     ~17 ms of 19.5 ms at B=256, K=20) — and LAPACK-path `safe_eigh`
-    elsewhere. Both share the same degeneracy-clamped VJP.
+    elsewhere. Both share the same degeneracy-clamped VJP. Matrices
+    wider than ``_JACOBI_MAX_K`` always take the safe_eigh path: the
+    fixed sweep budget is only validated below that size.
     """
+    k = int(a.shape[-1])
     if impl == "auto":
-        impl = "jacobi" if jax.default_backend() == "tpu" else "lapack"
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "jacobi" if (on_tpu and k <= _JACOBI_MAX_K) else "lapack"
     if impl == "jacobi":
+        if k > _JACOBI_MAX_K:
+            raise ValueError(
+                f"jacobi eigh requested for K={k} > {_JACOBI_MAX_K}; the "
+                "fixed-sweep budget is not validated there — use "
+                "impl='lapack' (safe_eigh)"
+            )
         from lanczosnet_tpu.ops.jacobi import jacobi_eigh
 
-        return jacobi_eigh(a)
+        return jacobi_eigh(a, sweeps=_jacobi_sweeps(k))
     return safe_eigh(a)

@@ -78,11 +78,22 @@ class Predictor:
         num_cluster = (
             int(mcfg.get("num_partition", 2)) if mcfg["name"] == "GPNN" else 0
         )
-        # label width + stats come from one pack of a probe graph set at
-        # train time; the snapshot's param shapes pin everything else.
+        # the trained label width is persisted in snapshot meta
+        # (runner._best_meta) — read it back rather than guessing from
+        # the config, so non-16-task datasets restore with the right
+        # head shape. config / NUM_TASK are fallbacks for pre-meta runs.
         from lanczosnet_tpu.data.qm8 import NUM_TASK, synthetic_qm8_graphs
 
-        mcfg["num_task"] = int(cfg.dataset.get("num_task", NUM_TASK))
+        ck = Checkpointer(run_dir)
+        num_task = None
+        for meta_tag in (tag, "best", "latest"):
+            meta = ck.meta(meta_tag) or {}
+            if "num_task" in meta:
+                num_task = int(meta["num_task"])
+                break
+        if num_task is None:
+            num_task = int(cfg.dataset.get("num_task", NUM_TASK))
+        mcfg["num_task"] = num_task
         model = build_model(mcfg)
         n_max = int(cfg.dataset.get("n_max", 32))
         probe = pack_dataset(
@@ -95,7 +106,6 @@ class Predictor:
         batch = jax.tree.map(np.asarray, probe.slice_batch(np.arange(2)))
         variables = model.init(jax.random.PRNGKey(0), batch, deterministic=True)
 
-        ck = Checkpointer(run_dir)
         from lanczosnet_tpu.train.optim import build_optimizer
         from lanczosnet_tpu.train.step import TrainState
         import jax.numpy as jnp

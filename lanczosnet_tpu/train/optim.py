@@ -32,9 +32,12 @@ def build_optimizer(
         boundaries = [
             int(e) * steps_per_epoch for e in train_cfg.get("lr_decay_epoch", [])
         ]
-    schedule = optax.piecewise_constant_schedule(
-        base_lr, {b: decay for b in boundaries}
-    )
+    # Repeated milestones must compound (torch MultiStepLR semantics):
+    # two epochs resolving to the same step boundary apply decay twice.
+    scales: dict[int, float] = {}
+    for b in boundaries:
+        scales[b] = scales.get(b, 1.0) * decay
+    schedule = optax.piecewise_constant_schedule(base_lr, scales)
 
     name = str(train_cfg.get("optimizer", "Adam")).lower()
     wd = float(train_cfg.get("wd", 0.0))

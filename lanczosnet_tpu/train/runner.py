@@ -219,9 +219,15 @@ class QM8Runner:
 
 
     def _best_meta(self, epoch: int, val_mae: float = None) -> dict:
-        """Snapshot metadata; includes label stats so serve.Predictor
-        can return original-unit predictions from any tag."""
-        meta = {"epoch": epoch}
+        """Snapshot metadata; includes label stats + the trained label
+        width so serve.Predictor can rebuild the exact head shape and
+        return original-unit predictions from any tag."""
+        meta = {
+            "epoch": epoch,
+            # training derives num_task from the packed labels' width,
+            # not the config — persist it so restore doesn't guess.
+            "num_task": int(self._first(self.datasets["train"]).label.shape[-1]),
+        }
         if val_mae is not None:
             meta["val_mae"] = val_mae
         if self.stats is not None:

@@ -30,6 +30,34 @@ def test_jacobi_matches_eigh(k):
         np.testing.assert_allclose(rec, np.asarray(a[g]), atol=5e-5)
 
 
+@pytest.mark.parametrize("k", [48, 64])
+def test_jacobi_large_k_scaled_sweeps(k):
+    """eigh_dispatch scales the sweep budget past K=32; accuracy must
+    hold at the largest supported width."""
+    from lanczosnet_tpu.ops.eigh import _jacobi_sweeps
+
+    rng = np.random.default_rng(2)
+    a = random_sym(rng, 3, k)
+    w_j, _ = jacobi_eigh(a, sweeps=_jacobi_sweeps(k))
+    w_r = np.linalg.eigvalsh(np.asarray(a))
+    np.testing.assert_allclose(np.asarray(w_j), w_r, atol=2e-4)
+
+
+def test_eigh_dispatch_guards_large_k():
+    """Explicit jacobi above the validated width must raise; 'auto'
+    must silently route to safe_eigh instead of degrading."""
+    from lanczosnet_tpu.ops.eigh import _JACOBI_MAX_K, eigh_dispatch
+
+    k = _JACOBI_MAX_K + 4
+    rng = np.random.default_rng(3)
+    a = random_sym(rng, 2, k)
+    with pytest.raises(ValueError):
+        eigh_dispatch(a, impl="jacobi")
+    w, _ = eigh_dispatch(a, impl="auto")  # falls back to lapack
+    w_r = np.linalg.eigvalsh(np.asarray(a))
+    np.testing.assert_allclose(np.asarray(w), w_r, atol=1e-4)
+
+
 def test_jacobi_tridiagonal_breakdown_zeros():
     # tridiagonal with a zero block (post-breakdown Lanczos shape)
     alphas = jnp.asarray([[1.0, 2.0, 0.0, 0.0]])

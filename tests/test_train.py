@@ -192,6 +192,20 @@ def test_sgd_momentum_and_lr_decay():
     np.testing.assert_allclose(np.asarray(up["w"]), -0.1 * np.ones(3), rtol=1e-6)
 
 
+def test_lr_decay_duplicate_boundaries_compound():
+    """Two decay epochs that land on the SAME step boundary must
+    compound gamma twice (torch MultiStepLR semantics), not collapse
+    into a single decay."""
+    tx, sched = build_optimizer(
+        {"optimizer": "SGD", "lr": 1.0, "lr_decay": 0.1,
+         "lr_decay_epoch": [1, 1, 3]},
+        steps_per_epoch=1,
+    )
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(2)) == pytest.approx(0.01)   # 0.1 applied twice
+    assert float(sched(4)) == pytest.approx(0.001)
+
+
 def test_resume_preserves_best(tmp_path):
     """Resume must not let a worse post-resume epoch overwrite 'best'."""
     import pathlib
