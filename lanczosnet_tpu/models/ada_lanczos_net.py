@@ -100,6 +100,10 @@ class AdaLanczosNet(nn.Module):
         ritz_val, ritz_vec = batched_lanczos_ritz_dispatch(
             s_op, batch.mask, self.num_eig_vec, impl=self.lanczos_impl
         )
+        # parity cut points (no-ops unless "intermediates" is mutable);
+        # tests/test_parity.py diffs these against the torch twin.
+        self.sow("intermediates", "s_op", s_op)
+        self.sow("intermediates", "ritz_val", ritz_val)
 
         for li, dim in enumerate(self.hidden_dim):
             parts = [h]
