@@ -32,8 +32,48 @@ LONG = [5, 7, 10, 20, 30]
 STEPS = 60
 WARMUP = 5
 
+# v5e peak: 197 bf16 TFLOP/s per chip. JAX f32 matmuls run single-pass
+# bf16 on TPU by default, so this is the honest MXU ceiling for this
+# program. Used only when the backend is TPU.
+PEAK_TFLOPS = {"tpu": 197.0}
 
-def bench_jax() -> float:
+
+def _program_flops(compiled) -> float:
+    """Total FLOPs of one compiled program from XLA's own cost model
+    (0.0 when the backend doesn't report). NOTE: XLA counts a while
+    loop's body ONCE, so for the scanned epoch this undercounts by the
+    step count — reported for reference, MFU uses the analytic count."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def analytic_train_flops_per_graph() -> float:
+    """Model FLOPs of one training step per graph at the bench config,
+    from first principles: 2 FLOPs/MAC forward, ×3 for fwd+bwd (the
+    standard dense-layer accounting; optimizer elementwise work is
+    negligible). Matmul zero-padding waste is NOT counted — this is
+    useful model FLOPs, so MFU is honest about padding too."""
+    f = HID[0]
+    per_layer_macs = 0.0
+    n_parts = 1 + len(SHORT) + len(LONG) + 4  # self, short, long, edge ops
+    for dim in HID:
+        per_layer_macs += max(SHORT) * N * N * f          # short diffusion chain
+        per_layer_macs += K * N * f + N * K * len(LONG) * f  # V^T X + recon
+        per_layer_macs += len(LONG) * K * (2 * 16 + 16)   # filter bank MLPs
+        per_layer_macs += 4 * N * N * f                   # per-edge-type hops
+        per_layer_macs += N * (f * n_parts) * dim         # layer Dense
+        f = dim
+    readout_macs = N * f * (TASKS + 1)
+    fwd = 2.0 * (per_layer_macs + readout_macs)
+    return 3.0 * fwd  # fwd + bwd ≈ 3× fwd FLOPs
+
+
+def bench_jax() -> dict:
     """Scanned-epoch training throughput (the runner's default path):
     whole dataset device-resident, `lax.scan` over shuffled batches,
     only a [steps, B] permutation crossing the host per epoch."""
@@ -83,21 +123,42 @@ def bench_jax() -> float:
     epoch_fn = make_scan_train_epoch(model, tx)
     rng = np.random.default_rng(0)
 
-    def one_epoch(state):
-        perm = rng.permutation(num_graphs)[: steps_per_epoch * BATCH]
-        perm = jnp.asarray(perm.reshape(steps_per_epoch, BATCH).astype(np.int32))
-        state, losses = epoch_fn(state, data, perm)
-        return state, losses
+    # Steady-state measurement: E epochs per dispatch, matching the
+    # runner's epoch-grouped scanned path (epochs between validations
+    # run as one program). One dispatch per epoch re-pays the host
+    # tunnel latency every 12 ms and understates the chip by ~25%.
+    group = 10
 
-    state, losses = one_epoch(state)  # compile + warm
+    def grouped_epochs(state):
+        perms = [
+            rng.permutation(num_graphs)[: steps_per_epoch * BATCH].reshape(
+                steps_per_epoch, BATCH
+            )
+            for _ in range(group)
+        ]
+        perm = jnp.asarray(np.concatenate(perms).astype(np.int32))
+        return epoch_fn(state, data, perm)
+
+    state, losses = grouped_epochs(state)  # compile + warm
     jax.block_until_ready(losses)
-    epochs = 5
+    rounds = 2
     t0 = time.perf_counter()
-    for _ in range(epochs):
-        state, losses = one_epoch(state)
+    for _ in range(rounds):
+        state, losses = grouped_epochs(state)
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
-    return epochs * steps_per_epoch * BATCH / dt
+
+    n_graphs_run = rounds * group * steps_per_epoch * BATCH
+    gps = n_graphs_run / dt
+    flops_per_graph = analytic_train_flops_per_graph()
+    achieved_tflops = gps * flops_per_graph / 1e12
+    peak = PEAK_TFLOPS.get(jax.default_backend())
+    return {
+        "graphs_per_sec": gps,
+        "tflops_per_sec": achieved_tflops,
+        "mfu_pct": 100.0 * achieved_tflops / peak if peak else None,
+        "flops_per_graph": flops_per_graph,
+    }
 
 
 def bench_torch_cpu(steps: int = 6) -> float:
@@ -175,7 +236,8 @@ def bench_torch_cpu(steps: int = 6) -> float:
 
 
 def main():
-    gps = bench_jax()
+    r = bench_jax()
+    gps = r["graphs_per_sec"]
     try:
         base = bench_torch_cpu()
     except Exception:
@@ -187,7 +249,14 @@ def main():
                 "metric": "lanczosnet_qm8_train_graphs_per_sec",
                 "value": round(gps, 1),
                 "unit": "graphs/sec (batch 64, N=32, K=20, fwd+bwd+adam)",
+                # NOT the reference: its mount is empty and it publishes
+                # no numbers — this divides by the same-shape eager
+                # PyTorch-CPU proxy implemented in this file.
                 "vs_baseline": round(vs, 2) if vs else 0.0,
+                "baseline": "same-shape eager PyTorch-CPU proxy (NOT the reference)",
+                "tflops_per_sec": round(r["tflops_per_sec"], 2),
+                "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+                "flops_per_graph": round(r["flops_per_graph"]),
             }
         )
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
@@ -47,6 +48,30 @@ def edge_message_concat(ops: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     return flatten_feature_stack(msg)
 
 
+class OneHotEmbed(nn.Module):
+    """Embedding lookup computed as one-hot × table.
+
+    For tiny vocabularies (atom types) this turns the backward pass
+    from a scatter-add into an MXU matmul and the forward gather into
+    a fusable contraction — the scatter fusions were visible in the r2
+    step profile. Param tree ("embedding", same default init) matches
+    `nn.Embed`, so checkpoints are interchangeable.
+    """
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal", out_axis=0),
+            (self.num_embeddings, self.features),
+        )
+        onehot = jax.nn.one_hot(ids, self.num_embeddings, dtype=table.dtype)
+        return onehot @ table
+
+
 class NodeEncoder(nn.Module):
     """Atom-type embedding ⊕ continuous features → initial node state.
 
@@ -59,7 +84,8 @@ class NodeEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch) -> jnp.ndarray:
-        h = nn.Embed(self.num_atom, self.embed_dim, name="atom_embed")(
+        embed_cls = OneHotEmbed if self.num_atom <= 64 else nn.Embed
+        h = embed_cls(self.num_atom, self.embed_dim, name="atom_embed")(
             batch.atom_type
         )
         if batch.node_feat is not None and batch.node_feat.shape[-1] > 0:

@@ -24,16 +24,27 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, MLP, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import diffusion_features_at
 from lanczosnet_tpu.ops.spectral import long_scale_features
 
 
 class SpectralFilter(nn.Module):
-    """Per-scale learned filters over Ritz values: [B,K] → [B,S,K]."""
+    """Per-scale learned filters over Ritz values: [B,K] → [B,S,K].
+
+    Semantics of the reference's independent per-scale MLPs over the
+    features ``[D, D^t]`` (SURVEY.md §2.3, `[R] model/lanczos_net.py`),
+    implemented as ONE bank of stacked per-scale weights: all S filters
+    evaluate in two batched einsums instead of 2·S tiny matmuls. The
+    step program is op-count bound on TPU (profiled r2), so collapsing
+    ~10 small kernels per layer into 2 is a direct wall-clock win; the
+    math per scale is unchanged (verified against the eager torch twin
+    in tests/test_parity.py).
+    """
 
     long_dists: Sequence[int]
     kind: str = "MLP"
@@ -41,16 +52,37 @@ class SpectralFilter(nn.Module):
 
     @nn.compact
     def __call__(self, ritz_val: jnp.ndarray) -> jnp.ndarray:
-        outs = []
-        for t in self.long_dists:
-            power = ritz_val**t
-            if self.kind.upper() == "MLP":
-                feat = jnp.stack([ritz_val, power], axis=-1)  # [B,K,2]
-                f = MLP((self.filter_hidden_dim, 1), name=f"filter_t{t}")(feat)
-                outs.append(f[..., 0])
-            else:
-                outs.append(power)
-        return jnp.stack(outs, axis=1)  # [B,S,K]
+        # integer powers via lax.integer_pow (repeated squaring — exact
+        # for negative Ritz values, unlike float pow); elementwise ops
+        # fuse, so the per-scale loop costs no extra kernels.
+        power = jnp.stack(
+            [jax.lax.integer_pow(ritz_val, int(t)) for t in self.long_dists],
+            axis=1,
+        )  # [B,S,K]
+        if self.kind.upper() != "MLP":
+            return power
+        s, h = len(self.long_dists), self.filter_hidden_dim
+        base = jnp.broadcast_to(ritz_val[:, None, :], power.shape)
+        feat = jnp.stack([base, power], axis=-1)  # [B,S,K,2]
+        lecun = nn.initializers.lecun_normal(batch_axis=(0,))
+        zeros = nn.initializers.zeros_init()
+        w1 = self.param("w1", lecun, (s, 2, h))
+        b1 = self.param("b1", zeros, (s, h))
+        w2 = self.param("w2", lecun, (s, h, 1))
+        b2 = self.param("b2", zeros, (s, 1))
+        z = nn.relu(
+            jnp.einsum(
+                "bskc,sch->bskh", feat, w1, preferred_element_type=jnp.float32
+            )
+            + b1[None, :, None, :]
+        )
+        out = (
+            jnp.einsum(
+                "bskh,sho->bsko", z, w2, preferred_element_type=jnp.float32
+            )
+            + b2[None, :, None, :]
+        )
+        return out[..., 0]  # [B,S,K]
 
 
 class LanczosNet(nn.Module):

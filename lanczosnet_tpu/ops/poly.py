@@ -14,6 +14,11 @@ import jax
 import jax.numpy as jnp
 
 
+# Static trip counts at or below this unroll to straight-line matmuls;
+# larger ones keep the compact lax.scan form (compile-size guard).
+_UNROLL_MAX = 8
+
+
 def _bmm(op: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Batched [B,N,N] @ [B,N,F] on the MXU in fp32 accumulation."""
     return jax.lax.dot_general(
@@ -36,6 +41,14 @@ def chebyshev_features(
     if order < 1:
         return x[:, None]
     t0, t1 = x, _bmm(op, x)
+    if order <= _UNROLL_MAX:
+        # straight-line for small static orders: a nested while-loop
+        # inside the (scanned) train step costs more in sequencer
+        # overhead than the matmuls themselves (profiled r2).
+        feats = [t0, t1]
+        for _ in range(order - 1):
+            feats.append(2.0 * _bmm(op, feats[-1]) - feats[-2])
+        return jnp.stack(feats, axis=1)
 
     def step(carry, _):
         prev, cur = carry
@@ -58,6 +71,12 @@ def diffusion_features(
     Returns ``[B, max_hop, N, F]``. Used by DCNN (with ``op`` a
     row-stochastic transition matrix) and by LanczosNet's short scales.
     """
+    if max_hop <= _UNROLL_MAX:
+        feats = [x]
+        for _ in range(max_hop):
+            feats.append(_bmm(op, feats[-1]))
+        return jnp.stack(feats[1:], axis=1)
+
     def step(carry, _):
         nxt = _bmm(op, carry)
         return nxt, nxt

@@ -19,12 +19,6 @@ def _linear(tmod: torch.nn.Linear, fparams: dict) -> None:
     tmod.bias.data = torch.from_numpy(np.asarray(fparams["bias"]).copy())
 
 
-def _mlp2(tseq: torch.nn.Sequential, fparams: dict) -> None:
-    """Flax base.MLP((hidden, 1)) → torch Sequential(Linear, ReLU, Linear)."""
-    _linear(tseq[0], fparams["dense_0"])
-    _linear(tseq[2], fparams["dense_1"])
-
-
 def _readout(treadout, fparams: dict) -> None:
     _linear(treadout.att_gate, fparams["att_gate"])
     for i, lin in enumerate(treadout.out_hidden):
@@ -33,10 +27,19 @@ def _readout(treadout, fparams: dict) -> None:
 
 
 def _spectral_filters(tmodel, params: dict, num_layers: int, long_dists) -> None:
+    """The flax filters are a stacked bank (w1 [S,2,H], b1 [S,H],
+    w2 [S,H,1], b2 [S,1]); the torch twin keeps the reference's
+    per-scale MLPs — slice scale s for each t."""
     for li in range(num_layers):
         sf = params[f"spectral_filter_{li}"]
-        for t in long_dists:
-            _mlp2(tmodel.spectral_filters[li].filters[f"t{t}"], sf[f"filter_t{t}"])
+        w1, b1 = np.asarray(sf["w1"]), np.asarray(sf["b1"])
+        w2, b2 = np.asarray(sf["w2"]), np.asarray(sf["b2"])
+        for s, t in enumerate(long_dists):
+            seq = tmodel.spectral_filters[li].filters[f"t{t}"]
+            seq[0].weight.data = torch.from_numpy(w1[s].T.copy())
+            seq[0].bias.data = torch.from_numpy(b1[s].copy())
+            seq[2].weight.data = torch.from_numpy(w2[s].T.copy())
+            seq[2].bias.data = torch.from_numpy(b2[s].copy())
 
 
 def load_lanczos_net(tmodel, params: dict, num_layers: int, long_dists) -> None:
