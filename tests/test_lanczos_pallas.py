@@ -105,11 +105,9 @@ def test_fast_vjp_matches_scan_grad():
     rng = np.random.default_rng(3)
     s, mask = random_spd_batch(rng, b=2, n=8, mask_counts=[8, 5])
     k = 4
-    if INTERPRET:
-        pytest.skip("custom_vjp forward needs compiled pallas (TPU)")
 
     def loss_fast(s):
-        d, v = batched_lanczos_ritz_fast(s, mask, k)
+        d, v = batched_lanczos_ritz_fast(s, mask, k, interpret=INTERPRET)
         return jnp.sum(d**2) + jnp.sum(v**4)
 
     def loss_scan(s):
@@ -134,10 +132,89 @@ def test_pick_tile_vmem_rules():
     assert _pick_tile(4, 2708, 20) == 0
 
 
+def test_stream_block_rules():
+    from lanczosnet_tpu.ops.lanczos_pallas import (
+        _STREAM_VMEM_BUDGET, _pick_stream_block, _stream_bytes,
+    )
+
+    # citation scale streams with a healthy block
+    bn = _pick_stream_block(2708, 20)
+    assert bn in (128, 256, 512)
+    n_pad = -(-2708 // bn) * bn
+    assert _stream_bytes(bn, n_pad, 20) <= _STREAM_VMEM_BUDGET
+    # far beyond VMEM even at the smallest block: infeasible
+    assert _pick_stream_block(200_000, 20) == 0
+
+
+def test_stream_kernel_matches_scan_residuals():
+    from lanczosnet_tpu.ops.lanczos import _lanczos_fwd_resid
+    from lanczosnet_tpu.ops.lanczos_pallas import _lanczos_stream_call
+
+    rng = np.random.default_rng(7)
+    b, n, k = 2, 300, 8
+    s = rng.standard_normal((b, n, n)).astype(np.float32) * 0.1
+    s = 0.5 * (s + s.transpose(0, 2, 1))
+    mask = np.ones((b, n), np.float32)
+    mask[1, 200:] = 0.0
+    s[1, 200:, :] = 0.0
+    s[1, :, 200:] = 0.0
+    s, mask = jnp.asarray(s), jnp.asarray(mask)
+    a_p, bf_p, q_p, p1_p, p2_p, w4_p = _lanczos_stream_call(
+        s, mask, k, 1e-6, bn=128, interpret=INTERPRET
+    )
+    for g in range(b):
+        a_s, bf_s, q_s, p1_s, p2_s, w4_s = _lanczos_fwd_resid(
+            s[g], mask[g], k, 1e-6
+        )
+        np.testing.assert_allclose(a_p[g], a_s, atol=1e-4)
+        np.testing.assert_allclose(bf_p[g], bf_s, atol=1e-4)
+        np.testing.assert_allclose(q_p[g], q_s, atol=1e-4)
+        np.testing.assert_allclose(p1_p[g], p1_s, atol=1e-4)
+        np.testing.assert_allclose(p2_p[g], p2_s, atol=1e-4)
+        np.testing.assert_allclose(w4_p[g], w4_s, atol=1e-4)
+
+
+def test_stream_vjp_matches_scan_grad_large_n(monkeypatch):
+    """A/B grad check through the streamed path (VERDICT round-1 #3:
+    adjoint grads must work past molecular N; run at citation scale on
+    TPU, a CI-sized N here — the VMEM budget is pinched so the resid
+    dispatcher picks the streamed kernel at this n)."""
+    import lanczosnet_tpu.ops.lanczos_pallas as lp
+
+    monkeypatch.setattr(lp, "_VMEM_BUDGET", 0)  # molecular infeasible
+    rng = np.random.default_rng(8)
+    b, n, k = 1, 300, 6
+    assert lp._pick_tile(b, n, k) == 0  # molecular kernel infeasible here
+    assert lp._pick_stream_block(n, k) > 0  # streamed kernel takes over
+    s = rng.standard_normal((b, n, n)).astype(np.float32) * 0.05
+    s = 0.5 * (s + s.transpose(0, 2, 1))
+    mask = jnp.ones((b, n), jnp.float32)
+    s = jnp.asarray(s)
+    x = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+
+    def loss(fn):
+        def f(si):
+            d, v = fn(si, mask, k)
+            recon = jnp.einsum("bnk,bk,bmk,bmf->bnf", v, d, v, x)
+            return jnp.sum(jnp.tanh(recon))
+        return f
+
+    g_scan = jax.grad(loss(batched_lanczos_ritz))(s)
+    g_fast = jax.grad(loss(
+        lambda si, m, kk: batched_lanczos_ritz_fast(si, m, kk,
+                                                    interpret=INTERPRET)
+    ))(s)
+    scale = float(jnp.max(jnp.abs(g_scan)))
+    np.testing.assert_allclose(
+        np.asarray(g_fast) / scale, np.asarray(g_scan) / scale, atol=2e-4
+    )
+
+
 def test_dispatch_falls_back_when_infeasible():
     from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
 
-    # runs (on any backend) because auto resolves to the scan path
+    # runs (on any backend): auto resolves to scan off-TPU, and to the
+    # streamed kernel on TPU now that n=300 is stream-feasible
     n = 300  # > VMEM-feasible for a 128-tile at this n
     s = jnp.zeros((1, n, n))
     mask = jnp.ones((1, n))
