@@ -34,15 +34,24 @@ class SparseOp:
     Attributes:
       row: ``[E]`` int32 edge sources (both directions present).
       col: ``[E]`` int32 edge destinations.
-      val: ``[E]`` float32 normalized weights.
+      val: ``[E]`` float32 normalized weights (exactly 0 on padding
+        edges — consumers use ``val != 0`` as the edge-liveness mask).
       n: number of nodes — static pytree metadata (output shapes depend
         on it, so it must stay a concrete Python int under jit).
+      axis: optional mesh-axis name. When set, the edge arrays are
+        *shards* of the full edge list and every segment reduction in
+        this module finishes with the matching collective
+        (``psum``/``pmax``) — i.e. the op is being used inside a
+        `shard_map` over that axis (`parallel/mesh.py:shard_sparse_op`).
+        Because the axis tag rides the pytree, model code is identical
+        sharded and unsharded.
     """
 
     row: jnp.ndarray
     col: jnp.ndarray
     val: jnp.ndarray
     n: int = flax.struct.field(pytree_node=False)
+    axis: str | None = flax.struct.field(pytree_node=False, default=None)
 
 
 def sparse_sym_operator(
@@ -69,9 +78,82 @@ def sparse_sym_operator(
 
 
 def spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
-    """``S @ x`` for x ``[N]`` or ``[N, F]`` via gather + segment-sum."""
+    """``S @ x`` for x ``[N]`` or ``[N, F]`` via gather + segment-sum.
+
+    With ``op.axis`` set (edge-sharded inside a `shard_map`), each
+    device segment-sums its local edges and the partial node vectors
+    are ``psum``-reduced over ICI — the COO analog of a row-sharded
+    matvec. x is replicated; memory scales as E/n_devices + N·F.
+    """
     msg = op.val[:, None] * x[op.col] if x.ndim == 2 else op.val * x[op.col]
-    return jax.ops.segment_sum(msg, op.row, num_segments=op.n)
+    out = jax.ops.segment_sum(msg, op.row, num_segments=op.n)
+    if op.axis is not None:
+        out = jax.lax.psum(out, op.axis)
+    return out
+
+
+def segment_softmax_coo(
+    logits: jnp.ndarray,
+    op: SparseOp,
+    self_logits: jnp.ndarray | None = None,
+    eps: float = 1e-16,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    """Numerically-stable softmax over each node's incoming edges.
+
+    Args:
+      logits: ``[E, ...]`` per-edge attention logits (leading dim E
+        aligned with op.row/col; trailing dims e.g. heads).
+      op: the COO operator — ``row`` defines the softmax segments,
+        ``val != 0`` masks padding edges out of the distribution.
+      self_logits: optional ``[N, ...]`` logits of an implicit
+        self-edge per node, included in the normalization (GAT's
+        self-attention without materializing self-loops in the COO).
+
+    Returns ``(p_edges [E, ...], denom [N, ...], p_self [N, ...]|None)``
+    with ``p`` unnormalized exp-weights; callers divide their segment
+    sums by ``denom``. Sharded ops reduce max/denominator with
+    pmax/psum so the distribution spans ALL edge shards.
+    """
+    live = (op.val != 0.0).astype(logits.dtype)
+    live = live.reshape(live.shape + (1,) * (logits.ndim - 1))
+    neg = jnp.asarray(-1e30, logits.dtype)
+    masked = jnp.where(live > 0, logits, neg)
+    # m only stabilizes the exp — softmax is invariant to it, so
+    # cutting its gradient is exact; it must be cut BEFORE pmax, which
+    # has no differentiation rule at all (this is what makes the
+    # sharded path differentiable)
+    m = jax.ops.segment_max(
+        jax.lax.stop_gradient(masked), op.row, num_segments=op.n
+    )
+    if op.axis is not None:
+        m = jax.lax.pmax(m, op.axis)
+    if self_logits is not None:
+        m = jnp.maximum(m, jax.lax.stop_gradient(self_logits))
+    m = jnp.maximum(m, neg)  # empty segments: segment_max yields -inf
+    # exp the MASKED logits so a padding edge can never overflow past m
+    p = jnp.exp(masked - m[op.row]) * live
+    denom = jax.ops.segment_sum(p, op.row, num_segments=op.n)
+    if op.axis is not None:
+        denom = jax.lax.psum(denom, op.axis)
+    p_self = None
+    if self_logits is not None:
+        p_self = jnp.exp(self_logits - m)
+        denom = denom + p_self
+    return p, jnp.maximum(denom, eps), p_self
+
+
+def attention_spmv(
+    op: SparseOp, p: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    """``Σ_{e: row=i} p_e · x[col_e]`` — message aggregation with
+    per-edge weights ``p [E, ...]`` broadcast against ``x[col] [E, ..., F]``;
+    psum-reduced across edge shards like `spmv`."""
+    out = jax.ops.segment_sum(
+        p[..., None] * x[op.col], op.row, num_segments=op.n
+    )
+    if op.axis is not None:
+        out = jax.lax.psum(out, op.axis)
+    return out
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -59,6 +59,39 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
+    """Edge-shard a COO operator (`ops/sparse.py:SparseOp`) over the mesh.
+
+    The >HBM full-graph path (SURVEY.md §5 long-context analog (b),
+    VERDICT round-1 #5): the edge arrays are padded with zero-weight
+    edges to a mesh-size multiple and placed ``P(axis)``, and the op is
+    tagged with the axis name so every segment reduction inside
+    `ops/sparse.py` finishes with the matching psum/pmax. Consume it
+    inside a `shard_map` over the same mesh (node arrays replicated) —
+    `train/sparse_citation_runner.py:sharded_sparse_apply`.
+    """
+    from lanczosnet_tpu.ops.sparse import SparseOp
+
+    ndev = mesh.shape[axis]
+    e = op.row.shape[0]
+    pad = (-e) % ndev
+    row, col, val = op.row, op.col, op.val
+    if pad:
+        import jax.numpy as jnp
+
+        row = jnp.concatenate([row, jnp.zeros((pad,), row.dtype)])
+        col = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
+        val = jnp.concatenate([val, jnp.zeros((pad,), val.dtype)])
+    sh = NamedSharding(mesh, P(axis))
+    return SparseOp(
+        row=jax.device_put(row, sh),
+        col=jax.device_put(col, sh),
+        val=jax.device_put(val, sh),
+        n=op.n,
+        axis=axis,
+    )
+
+
 def shard_full_graph(batch, mesh: Mesh, n_pad: int):
     """Node-axis sharding for a B=1 full-graph batch (citation configs).
 

@@ -6,8 +6,11 @@ process-group initialization; after `initialize()`, `jax.devices()`
 spans every host's chips, the same `make_mesh()` covers them, and XLA
 routes collectives over ICI within a slice and DCN across slices.
 
-This box has one chip, so this module is exercised only as a no-op
-(single process) — the documented extension point for pod runs.
+Exercised in CI by a REAL two-process group over a localhost
+coordinator (tests/test_multihost.py): process_count/process_index,
+global-vs-local device views, a psum crossing the process boundary,
+and `is_primary()` gating exactly one checkpoint writer. Pod runs use
+the same call with auto-detected arguments.
 """
 
 from __future__ import annotations

@@ -6,7 +6,16 @@ but the graph operator lives as COO edges (`ops/sparse.py`), so memory
 scales with edges, not N² — the path for graphs far beyond Pubmed.
 
 Select with ``runner: SparseCitationRunner``; model names ``GCN`` /
-``LanczosNet`` map to the sparse members.
+``ChebyNet`` / ``GAT`` / ``LanczosNet`` map to the sparse members.
+
+Set ``train.num_devices > 1`` to edge-shard the operator over a mesh
+(`parallel/mesh.py:shard_sparse_op`): the whole forward runs inside a
+`shard_map` — each device holds E/ndev edges, node arrays and params
+are replicated, and every segment reduction finishes with a psum/pmax
+over ICI. Per-device edge memory is what bounds graph size, so this is
+the ">one chip's HBM" path (VERDICT round-1 #5). Gradients flow
+through the shard_map (tested device-count-invariant in
+tests/test_sparse_sharded.py).
 """
 
 from __future__ import annotations
@@ -19,19 +28,71 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import PartitionSpec as P
 
 from lanczosnet_tpu.data.citation import (
     import_planetoid,
     synthetic_citation_edges,
     synthetic_citation_graph,
 )
-from lanczosnet_tpu.models.sparse_nodes import SparseGCN, SparseLanczosNet
-from lanczosnet_tpu.ops.sparse import sparse_lanczos_ritz, sparse_sym_operator
+from lanczosnet_tpu.models.sparse_nodes import (
+    SparseChebyNet,
+    SparseGAT,
+    SparseGCN,
+    SparseLanczosNet,
+)
+from lanczosnet_tpu.ops.sparse import (
+    SparseOp,
+    sparse_lanczos_ritz,
+    sparse_sym_operator,
+)
+from lanczosnet_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    replicate_sharding,
+    shard_sparse_op,
+)
 from lanczosnet_tpu.train.checkpoint import Checkpointer
 from lanczosnet_tpu.train.optim import build_optimizer
 from lanczosnet_tpu.train.step import TrainState
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
+
+
+def sharded_sparse_apply(mesh, model, params, x, op, ritz=None,
+                         deterministic=True, rng=None):
+    """Run ``model.apply`` inside a shard_map with edge-sharded COO.
+
+    params/x/ritz replicated, op.row/col/val sharded P(data); outputs
+    are replicated because every segment reduction inside ops/sparse.py
+    psums over the edge axis. Differentiable from outside — shard_map
+    transposes the psums and sums replicated-input cotangents.
+    """
+    op_specs = SparseOp(
+        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
+        n=op.n, axis=op.axis,
+    )
+    ritz = tuple(ritz) if ritz is not None else ()
+    ritz_specs = tuple(P() for _ in ritz)
+    rng_args = (rng,) if rng is not None else ()
+    rng_specs = (P(),) if rng is not None else ()
+
+    def body(params, lop, x, *rest):
+        ritz_vals = rest[: len(ritz)]
+        rngs = (
+            {"dropout": rest[len(ritz)]} if rng is not None else None
+        )
+        return model.apply(
+            {"params": params}, x, lop, *ritz_vals,
+            deterministic=deterministic, rngs=rngs,
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), op_specs, P()) + ritz_specs + rng_specs,
+        out_specs=P(),
+    )(params, op, x, *ritz, *rng_args)
 
 
 class SparseCitationRunner:
@@ -77,6 +138,19 @@ class SparseCitationRunner:
             for s in ("train", "val", "test")
         }
 
+        ndev = int(config.train.get("num_devices", 1))
+        self.mesh = None
+        self.init_op = self.op  # unsharded copy for flax init (no psum)
+        if ndev > 1:
+            self.mesh = make_mesh(ndev)
+            self.op = shard_sparse_op(self.op, self.mesh)
+            rsh = replicate_sharding(self.mesh)
+            self.x = jax.device_put(self.x, rsh)
+            self.labels = jax.device_put(self.labels, rsh)
+            self.splits = {
+                k: jax.device_put(v, rsh) for k, v in self.splits.items()
+            }
+
         mcfg = dict(config.model)
         name = mcfg["name"]
         hidden = tuple(mcfg.get("hidden_dim", (64,)))
@@ -84,7 +158,21 @@ class SparseCitationRunner:
         self.ritz = None
         if name == "LanczosNet":
             k = int(mcfg.get("num_eig_vec", 20))
-            self.ritz = sparse_lanczos_ritz(self.op, k)
+            if self.mesh is None:
+                self.ritz = sparse_lanczos_ritz(self.op, k)
+            else:
+                # the Ritz precompute itself runs edge-sharded: the
+                # Lanczos matvec callback is the sharded spmv
+                op_specs = SparseOp(
+                    row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
+                    n=self.op.n, axis=self.op.axis,
+                )
+                self.ritz = jax.jit(jax.shard_map(
+                    lambda lop: sparse_lanczos_ritz(lop, k),
+                    mesh=self.mesh,
+                    in_specs=(op_specs,),
+                    out_specs=(P(), P()),
+                ))(self.op)
             self.model = SparseLanczosNet(
                 hidden_dim=hidden,
                 num_class=c,
@@ -102,20 +190,40 @@ class SparseCitationRunner:
                 hidden_dim=hidden, num_class=c,
                 dropout=float(mcfg.get("dropout", 0.5)),
             )
+        elif name == "ChebyNet":
+            self.model = SparseChebyNet(
+                hidden_dim=hidden, num_class=c,
+                poly_order=int(mcfg.get("poly_order", 3)),
+                dropout=float(mcfg.get("dropout", 0.5)),
+            )
+        elif name == "GAT":
+            self.model = SparseGAT(
+                hidden_dim=hidden, num_class=c,
+                num_head=int(mcfg.get("num_head", 4)),
+                dropout=float(mcfg.get("dropout", 0.5)),
+            )
         else:
             raise KeyError(
-                f"SparseCitationRunner supports GCN | LanczosNet, got {name!r}"
+                "SparseCitationRunner supports GCN | ChebyNet | GAT | "
+                f"LanczosNet, got {name!r}"
             )
         self.log.info(
             "sparse citation runner: model=%s dataset=%s nodes=%d edges=%d "
-            "classes=%d",
+            "classes=%d devices=%d",
             name, dcfg.get("name", "cora"), n, int(self.op.row.shape[0]), c,
+            ndev,
         )
 
     def _apply(self, params, deterministic, rngs=None):
+        if self.mesh is not None:
+            return sharded_sparse_apply(
+                self.mesh, self.model, params, self.x, self.op,
+                ritz=self.ritz, deterministic=deterministic,
+                rng=None if rngs is None else rngs["dropout"],
+            )
         args = (self.x, self.op)
         if self.ritz is not None:
-            args = args + self.ritz
+            args = args + tuple(self.ritz)
         return self.model.apply(
             {"params": params}, *args, deterministic=deterministic, rngs=rngs
         )
@@ -127,10 +235,12 @@ class SparseCitationRunner:
         p_rng, d_rng, s_rng = jax.random.split(rng, 3)
         params = self.model.init(
             {"params": p_rng, "dropout": d_rng},
-            self.x, self.op,
+            self.x, self.init_op,
             *(self.ritz if self.ritz is not None else ()),
             deterministic=True,
         )["params"]
+        if self.mesh is not None:
+            params = jax.device_put(params, replicate_sharding(self.mesh))
         state = TrainState(
             params=params, opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32), rng=s_rng,
