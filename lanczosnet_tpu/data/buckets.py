@@ -15,12 +15,26 @@ splitting into buckets so every bucket shares one scale.
 Enabled with ``dataset.buckets: [16, 24, 32]`` (scanned trainer only;
 the streaming per-step path keeps the single-``n_max`` contract).
 
-Measured tradeoff (LanczosNet, synthetic QM8, 30 epochs, 1×v5e):
-~1.45× faster wall-clock, but batches become size-homogeneous — when
-targets correlate with graph size (strongly true for the synthetic
-labels) that costs accuracy (0.034 → 0.041 test MAE) even with the
-trainer's shuffled chunk interleaving. OFF by default; turn it on for
-throughput-bound runs or datasets with size-independent targets.
+Measured tradeoffs (LanczosNet, synthetic QM8, 30 epochs, 1×v5e):
+
+- r1, chunk-interleaved (``dataset.buckets`` alone): saves ~45% padded
+  FLOPs but batches become size-homogeneous — when targets correlate
+  with graph size that costs accuracy (0.0353 → 0.0432 test MAE, r2
+  re-measurement).
+- r2, mixed-size paired steps (``train.bucket_pair: true``,
+  `train/scan_epoch.py:make_scan_pair_epoch`): each update averages
+  gradients from half-batches of two buckets, restoring size-mixed
+  batches — test MAE 0.0360, within 2% of unbucketed. Quality fixed.
+- BUT on this box wall-clock LOSES either way (0.066 s/epoch unbucketed
+  vs 0.31 chunked / 0.38 paired): the unbucketed trainer runs a whole
+  validation interval as ONE dispatch, while bucketed paths dispatch
+  per (bucket, chunk) piece through the ~33 ms TPU tunnel — dispatch
+  latency, not FLOPs, is the binding constraint at QM8 scale. The FLOP
+  saving only wins when per-program time dominates dispatch (much
+  larger models/graphs, or directly-attached chips).
+
+OFF by default. If you turn buckets on, also turn on
+``train.bucket_pair`` — it removes the accuracy cost.
 """
 
 from __future__ import annotations

@@ -259,7 +259,16 @@ class QM8Runner:
 
         buckets = {s: as_buckets(self.datasets[s]) for s in SPLITS}
         g_train = sum(len(d) for d in buckets["train"].values())
-        steps_per_epoch = sum(len(d) // bs for d in buckets["train"].values())
+        pairing = bool(tcfg.get("bucket_pair")) and len(buckets["train"]) > 1
+        if pairing:
+            # paired steps consume two half-batches per update
+            steps_per_epoch = (
+                sum(len(d) // (bs // 2) for d in buckets["train"].values()) // 2
+            )
+        else:
+            steps_per_epoch = sum(
+                len(d) // bs for d in buckets["train"].values()
+            )
         if steps_per_epoch == 0:
             raise ValueError(
                 f"train.batch_size={bs} exceeds every train bucket "
@@ -268,6 +277,10 @@ class QM8Runner:
             )
         tx, schedule = build_optimizer(tcfg, steps_per_epoch)
         epoch_fn = make_scan_train_epoch(self.model, tx)
+        if pairing:
+            from lanczosnet_tpu.train.scan_epoch import make_scan_pair_epoch
+
+            self._pair_fn = make_scan_pair_epoch(self.model, tx)
         scan_eval = make_scan_eval(self.model)
         rsh = replicate_sharding(self.mesh)
         psh = jax.sharding.NamedSharding(
@@ -359,6 +372,66 @@ class QM8Runner:
                     all_losses = list(
                         _np.asarray(losses).reshape(group, steps_b)
                     )
+                elif pairing:
+                    # mixed-size paired steps (ROADMAP #5): each update
+                    # averages gradients over one half-batch from TWO
+                    # buckets, so effective batches are size-mixed and
+                    # the size-homogeneity quality hit disappears; one
+                    # scanned program per (bucket_a, bucket_b) shape pair
+                    half = bs // 2
+                    if half == 0:
+                        raise ValueError("train.bucket_pair needs batch_size >= 2")
+                    pair_fn = self._pair_fn
+                    # half-batches shard over the mesh only when they
+                    # divide it; otherwise replicate (correct, no DP cut)
+                    pair_sh = psh if half % self.mesh.size == 0 else rsh
+                    for _ in range(group):
+                        pools = {}
+                        for b, d in buckets["train"].items():
+                            s_b = len(d) // half
+                            if s_b:
+                                pools[b] = (
+                                    rng.permutation(len(d))[: s_b * half]
+                                    .reshape(s_b, half).astype(_np.int32)
+                                )
+                        used = {b: 0 for b in pools}
+                        groups: dict = {}
+                        while True:
+                            # the two buckets with most unconsumed rows
+                            # (self-pairing only when one bucket remains)
+                            avail = sorted(
+                                ((pools[b].shape[0] - used[b], b)
+                                 for b in pools),
+                                reverse=True,
+                            )
+                            if len(avail) > 1 and avail[1][0] > 0:
+                                ba, bb = avail[0][1], avail[1][1]
+                            elif avail[0][0] >= 2:
+                                ba = bb = avail[0][1]
+                            else:
+                                break
+                            ia = pools[ba][used[ba]]; used[ba] += 1
+                            ib = pools[bb][used[bb]]; used[bb] += 1
+                            groups.setdefault((ba, bb), []).append((ia, ib))
+                        chunk = int(tcfg.get("bucket_chunk", 4))
+                        pieces = []
+                        for (ba, bb), rows in groups.items():
+                            ra = _np.stack([r[0] for r in rows])
+                            rb = _np.stack([r[1] for r in rows])
+                            for lo in range(0, ra.shape[0], chunk):
+                                pieces.append(
+                                    (ba, ra[lo:lo + chunk], bb, rb[lo:lo + chunk])
+                                )
+                        rng.shuffle(pieces)
+                        epoch_losses = []
+                        for ba, ra, bb, rb in pieces:
+                            state, losses = pair_fn(
+                                state,
+                                data["train"][ba], jax.device_put(ra, pair_sh),
+                                data["train"][bb], jax.device_put(rb, pair_sh),
+                            )
+                            epoch_losses.append(_np.asarray(losses))
+                        all_losses.append(_np.concatenate(epoch_losses))
                 else:
                     # bucketed: batches are size-homogeneous, and long
                     # same-size training segments measurably hurt quality

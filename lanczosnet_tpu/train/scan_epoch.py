@@ -95,6 +95,69 @@ def make_scan_train_epoch(model, tx, unroll: int = 4) -> Callable:
     return epoch_fn
 
 
+def make_scan_pair_epoch(model, tx, unroll: int = 2) -> Callable:
+    """Mixed-size paired steps over two buckets — one XLA program.
+
+    (state, data_a, perm_a [S,Ha], data_b, perm_b [S,Hb]) →
+    (state, losses [S]). Each optimizer step draws one half-batch from
+    bucket A and one from bucket B (two static shapes inside the same
+    scanned body), averages their gradients weighted by half-batch
+    size, and applies ONE update — so effective training batches are
+    size-heterogeneous (killing the size-homogeneity quality hit of
+    plain bucketing, data/buckets.py) while every array shape stays
+    compiled-static. ROADMAP #5 / VERDICT round-1 #9.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(
+        state: TrainState,
+        data_a: GraphBatch, perm_a: jnp.ndarray,
+        data_b: GraphBatch, perm_b: jnp.ndarray,
+    ):
+        ha, hb = perm_a.shape[1], perm_b.shape[1]
+        wa = ha / (ha + hb)
+
+        def half_loss(params, data, idx, dropout_rng):
+            batch = gather_batch(data, idx)
+
+            def loss_fn(p):
+                pred = model.apply(
+                    {"params": p}, batch, deterministic=False,
+                    rngs={"dropout": dropout_rng},
+                )
+                return weighted_mae(
+                    pred, batch.label, jnp.ones(idx.shape[0], jnp.float32)
+                )
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        def body(state, xs):
+            ia, ib = xs
+            rng, ra, rb = jax.random.split(state.rng, 3)
+            la, ga = half_loss(state.params, data_a, ia, ra)
+            lb, gb = half_loss(state.params, data_b, ib, rb)
+            grads = jax.tree.map(
+                lambda a, b: wa * a + (1.0 - wa) * b, ga, gb
+            )
+            loss = wa * la + (1.0 - wa) * lb
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(
+                    params=params, opt_state=opt_state,
+                    step=state.step + 1, rng=rng,
+                ),
+                loss,
+            )
+
+        return jax.lax.scan(
+            body, state, (perm_a, perm_b),
+            unroll=max(1, min(unroll, perm_a.shape[0])),
+        )
+
+    return epoch_fn
+
+
 def make_scan_eval(model) -> Callable:
     """(params, data, idx [S,B], valid [S,B]) → (per-task |err| sums, count)."""
 

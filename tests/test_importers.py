@@ -46,35 +46,96 @@ def test_reference_pickle_unknown_keys(tmp_path):
         import_reference_pickles(p)
 
 
-def test_planetoid_importer(tmp_path):
-    # construct a tiny consistent Planetoid file set: 6 nodes,
-    # 2 train (x), 4 in allx, 2 test via test.index
+def _write_planetoid(tmp_path, name, allx, ally, x, y, tx, ty, graph,
+                     test_index_lines):
+    """Write a byte-faithful Planetoid file set: the real ``ind.*``
+    files are python2 pickles (protocol <=2, loaded latin1) holding
+    scipy.sparse CSR matrices for features, dense one-hot int arrays
+    for labels, and a collections.defaultdict(list) adjacency;
+    ``test.index`` is newline-separated ids in SHUFFLED file order."""
+    import collections
+
+    import scipy.sparse as sp
+
+    gd = collections.defaultdict(list)
+    gd.update(graph)
+    parts = [
+        ("x", sp.csr_matrix(x)), ("y", np.asarray(y, np.int32)),
+        ("tx", sp.csr_matrix(tx)), ("ty", np.asarray(ty, np.int32)),
+        ("allx", sp.csr_matrix(allx)), ("ally", np.asarray(ally, np.int32)),
+        ("graph", gd),
+    ]
+    for part, obj in parts:
+        with open(tmp_path / f"ind.{name}.{part}", "wb") as fh:
+            pickle.dump(obj, fh, protocol=2)  # py2-compatible stream
+    (tmp_path / f"ind.{name}.test.index").write_text(
+        "\n".join(str(i) for i in test_index_lines) + "\n"
+    )
+
+
+def test_planetoid_importer_cora_layout(tmp_path):
+    """Mirror of the real cora layout at toy scale: allx rows first,
+    test nodes the contiguous tail range, test.index SHUFFLED (as the
+    real file is), features sparse CSR, labels one-hot int."""
     rng = np.random.default_rng(0)
     f, c = 5, 3
-    allx = rng.random((4, f)).astype(np.float32)
-    ally = np.eye(c, dtype=np.float32)[[0, 1, 2, 0]]
-    tx = rng.random((2, f)).astype(np.float32)
-    ty = np.eye(c, dtype=np.float32)[[1, 2]]
-    x, y = allx[:2], ally[:2]
-    graph = {0: [1, 2], 1: [0], 2: [0, 3], 3: [2], 4: [5], 5: [4]}
-    name = "tiny"
-    for part, obj in [
-        ("x", x), ("y", y), ("tx", tx), ("ty", ty),
-        ("allx", allx), ("ally", ally), ("graph", graph),
-    ]:
-        with open(tmp_path / f"ind.{name}.{part}", "wb") as fh:
-            pickle.dump(obj, fh)
-    (tmp_path / f"ind.{name}.test.index").write_text("4\n5\n")
+    allx = (rng.random((8, f)) < 0.3).astype(np.float32)
+    ally = np.eye(c)[[0, 1, 2, 0, 1, 2, 0, 1]]
+    tx = (rng.random((4, f)) < 0.3).astype(np.float32)
+    ty = np.eye(c)[[1, 2, 0, 1]]
+    x, y = allx[:3], ally[:3]
+    graph = {
+        0: [1, 2], 1: [0], 2: [0, 3], 3: [2], 4: [5], 5: [4],
+        6: [7], 7: [6, 8], 8: [7], 9: [10], 10: [9, 11], 11: [10],
+    }
+    # file order 10, 8, 11, 9 — tx row i belongs to node test_index[i]
+    test_index = [10, 8, 11, 9]
+    _write_planetoid(tmp_path, "tinycora", allx, ally, x, y, tx, ty,
+                     graph, test_index)
 
-    g = import_planetoid(tmp_path, name)
-    assert g["features"].shape == (6, f)
+    g = import_planetoid(tmp_path, "tinycora")
+    assert g["features"].shape == (12, f)
     assert g["num_class"] == c
-    assert g["adj"].shape == (6, 6)
+    assert g["adj"].shape == (12, 12)
     np.testing.assert_allclose(g["adj"], g["adj"].T)
-    assert g["train_mask"].sum() == 2
-    assert g["test_mask"].tolist() == [False] * 4 + [True] * 2
-    np.testing.assert_allclose(g["features"][4:], tx)
-    assert g["labels"][4:].tolist() == [1, 2]
+    assert g["train_mask"].sum() == 3
+    assert sorted(np.nonzero(g["test_mask"])[0].tolist()) == [8, 9, 10, 11]
+    # the shuffled-file-order correspondence: node test_index[i] <- tx[i]
+    for i, node in enumerate(test_index):
+        np.testing.assert_allclose(g["features"][node], tx[i])
+        assert g["labels"][node] == int(np.argmax(ty[i]))
+
+
+def test_planetoid_importer_citeseer_isolated_nodes(tmp_path):
+    """The citeseer quirk: some ids inside the test range are MISSING
+    from test.index (isolated papers). They must come back with zero
+    features, no edges, and excluded from every mask — exactly what the
+    public Kipf loader's tx_extended zero-fill produces."""
+    rng = np.random.default_rng(1)
+    f, c = 4, 2
+    allx = (rng.random((6, f)) < 0.4).astype(np.float32)
+    ally = np.eye(c)[[0, 1, 0, 1, 0, 1]]
+    x, y = allx[:2], ally[:2]
+    # test range is 6..9 but ids 7 and 8 are isolated (absent)
+    tx = (rng.random((2, f)) < 0.4).astype(np.float32)
+    ty = np.eye(c)[[1, 0]]
+    test_index = [9, 6]  # shuffled, with gaps
+    graph = {0: [1], 1: [0], 2: [3], 3: [2], 4: [5], 5: [4],
+             6: [0], 9: [1]}  # isolated 7, 8 have no entries
+    _write_planetoid(tmp_path, "tinycite", allx, ally, x, y, tx, ty,
+                     graph, test_index)
+
+    g = import_planetoid(tmp_path, "tinycite")
+    assert g["features"].shape == (10, f)
+    np.testing.assert_allclose(g["features"][9], tx[0])
+    np.testing.assert_allclose(g["features"][6], tx[1])
+    # isolated nodes: zero features, zero degree, in no split
+    for iso in (7, 8):
+        np.testing.assert_allclose(g["features"][iso], 0.0)
+        assert g["adj"][iso].sum() == 0
+        assert not g["train_mask"][iso]
+        assert not g["test_mask"][iso]
+    assert sorted(np.nonzero(g["test_mask"])[0].tolist()) == [6, 9]
 
 
 def test_cli_end_to_end(tmp_path):
