@@ -65,6 +65,29 @@ def spectral_partition(
     return out
 
 
+def sparse_spectral_partition(
+    op, num_cluster: int, k: int | None = None, seed: int = 0
+) -> np.ndarray:
+    """Cluster a COO-operator graph — the sparse-path analog of
+    :func:`spectral_partition` for `models/sparse_nodes.py:SparseGPNN`.
+
+    The embedding comes from the operator's top Ritz vectors
+    (`ops.sparse.sparse_lanczos_ritz` — the same K-step machinery the
+    sparse LanczosNet uses, so no dense [N, N] is ever formed), row-
+    normalized, then the same tiny k-means. Returns [N] int32 ids.
+    """
+    from lanczosnet_tpu.ops.sparse import sparse_lanczos_ritz
+
+    if num_cluster <= 1:
+        return np.zeros(op.n, np.int32)
+    k = k if k is not None else max(2 * num_cluster, 8)
+    k = min(k, op.n)
+    _, vecs = sparse_lanczos_ritz(op, k)
+    emb = np.asarray(vecs)[:, -min(num_cluster, k):]
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    return _kmeans(emb, num_cluster, seed=seed).astype(np.int32)
+
+
 def spectral_partition_batch(
     ops0: np.ndarray, mask: np.ndarray, num_cluster: int
 ) -> np.ndarray:

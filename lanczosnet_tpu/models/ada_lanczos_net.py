@@ -29,7 +29,12 @@ import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
 from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
-from lanczosnet_tpu.models.lanczos_net import SpectralFilter
+from lanczosnet_tpu.models.lanczos_net import (
+    _FUSED_N_MAX,
+    SpectralFilterBank,
+    operator_powers,
+    spectral_layer_channels,
+)
 from lanczosnet_tpu.ops.lanczos_pallas import batched_lanczos_ritz_dispatch
 from lanczosnet_tpu.ops.normalize import sym_normalize
 from lanczosnet_tpu.ops.poly import diffusion_features_at
@@ -105,22 +110,45 @@ class AdaLanczosNet(nn.Module):
         self.sow("intermediates", "s_op", s_op)
         self.sow("intermediates", "ritz_val", ritz_val)
 
+        filt_bank = None
+        if self.long_diffusion_dist:
+            filt_bank = SpectralFilterBank(
+                len(self.hidden_dim),
+                tuple(self.long_diffusion_dist),
+                self.spectral_filter_kind,
+                self.filter_hidden_dim,
+                name="spectral_filters",
+            )(ritz_val)  # [B,L,S,K]
+
+        # Same fused channel-stack path as LanczosNet (one stacked matmul
+        # per layer for small N); the learned s_op's powers amortize over
+        # all layers and gradients flow through them unchanged.
+        fused = n <= _FUSED_N_MAX
+        short_ops = None
+        if fused and self.short_diffusion_dist:
+            short_ops = operator_powers(s_op, tuple(self.short_diffusion_dist))
+        edge_ops = batch.ops[:, 1:] if batch.num_ops > 1 else None
+
         for li, dim in enumerate(self.hidden_dim):
-            parts = [h]
-            if self.short_diffusion_dist:
-                short = diffusion_features_at(s_op, h, tuple(self.short_diffusion_dist))
-                parts.append(flatten_feature_stack(short))
-            if self.long_diffusion_dist:
-                filt = SpectralFilter(
-                    tuple(self.long_diffusion_dist),
-                    self.spectral_filter_kind,
-                    self.filter_hidden_dim,
-                    name=f"spectral_filter_{li}",
-                )(ritz_val)
-                long = long_scale_features(ritz_vec, filt, h)
-                parts.append(flatten_feature_stack(long))
-            if batch.num_ops > 1:
-                parts.append(edge_message_concat(batch.ops[:, 1:], h))
+            filt = filt_bank[:, li] if filt_bank is not None else None
+            has_chan = (
+                short_ops is not None or filt is not None or edge_ops is not None
+            )
+            if fused and has_chan:
+                prop = spectral_layer_channels(h, short_ops, ritz_vec, filt, edge_ops)
+                parts = [h, prop]
+            else:
+                parts = [h]
+                if self.short_diffusion_dist:
+                    short = diffusion_features_at(
+                        s_op, h, tuple(self.short_diffusion_dist)
+                    )
+                    parts.append(flatten_feature_stack(short))
+                if filt is not None:
+                    long = long_scale_features(ritz_vec, filt, h)
+                    parts.append(flatten_feature_stack(long))
+                if edge_ops is not None:
+                    parts.append(edge_message_concat(edge_ops, h))
             h = nn.Dense(dim, name=f"layer_{li}")(jnp.concatenate(parts, axis=-1))
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -14,9 +14,14 @@ Parity with reference `model/lanczos_net.py` (SURVEY.md §2.3):
 - concat ``[X ‖ short ‖ long ‖ per-type]`` → Dense → ReLU → Dropout,
   then the shared gated-attention readout.
 
-Everything is batched dense matmul: per layer the MXU sees one
-[B,N,N]-powers stream, two [B,N,K] spectral contractions, and one
-[B,E,N,N] one-hop einsum; the K-sized filter MLPs are noise.
+Everything is batched dense matmul. At molecular scale (N ≤ 128) the
+step is op-count bound, so the layer fuses: all layers' filter MLPs
+evaluate as one pre-loop bank, operator powers S^t are computed once
+per forward, long scales become explicit ``V f(D) Vᵀ`` matrices, and
+short + long + edge channels apply to ``h`` in ONE stacked batched
+matmul per layer (`spectral_layer_channels`). Large graphs keep the
+factored low-rank path (forming [B,S,N,N] matrices costs S·N²·K MACs
+vs K·N·F·(1+S) factored — the crossover is ~N=F).
 """
 
 from __future__ import annotations
@@ -33,19 +38,19 @@ from lanczosnet_tpu.ops.poly import diffusion_features_at
 from lanczosnet_tpu.ops.spectral import long_scale_features
 
 
-class SpectralFilter(nn.Module):
-    """Per-scale learned filters over Ritz values: [B,K] → [B,S,K].
+class SpectralFilterBank(nn.Module):
+    """All layers' per-scale filters in one program: [B,K] → [B,L,S,K].
 
-    Semantics of the reference's independent per-scale MLPs over the
-    features ``[D, D^t]`` (SURVEY.md §2.3, `[R] model/lanczos_net.py`),
-    implemented as ONE bank of stacked per-scale weights: all S filters
-    evaluate in two batched einsums instead of 2·S tiny matmuls. The
-    step program is op-count bound on TPU (profiled r2), so collapsing
-    ~10 small kernels per layer into 2 is a direct wall-clock win; the
-    math per scale is unchanged (verified against the eager torch twin
-    in tests/test_parity.py).
+    Second stage of the filter-bank collapse: the filters depend only on
+    the Ritz values (layer-independent input), so every layer's MLP
+    evaluates before the layer loop in TWO einsums total instead of two
+    per layer — profiled r2, the per-layer filter MLPs were ~38 µs of a
+    253 µs step at L=3. Weights are stacked ``[L, S, ...]``; per-(layer,
+    scale) math is unchanged vs the reference's independent MLPs
+    (tests/test_parity.py diffs each slice against the torch twin).
     """
 
+    num_layers: int
     long_dists: Sequence[int]
     kind: str = "MLP"
     filter_hidden_dim: int = 16
@@ -59,30 +64,102 @@ class SpectralFilter(nn.Module):
             [jax.lax.integer_pow(ritz_val, int(t)) for t in self.long_dists],
             axis=1,
         )  # [B,S,K]
+        b = ritz_val.shape[0]
+        l, s, h = self.num_layers, len(self.long_dists), self.filter_hidden_dim
         if self.kind.upper() != "MLP":
-            return power
-        s, h = len(self.long_dists), self.filter_hidden_dim
+            return jnp.broadcast_to(power[:, None], (b, l) + power.shape[1:])
         base = jnp.broadcast_to(ritz_val[:, None, :], power.shape)
         feat = jnp.stack([base, power], axis=-1)  # [B,S,K,2]
-        lecun = nn.initializers.lecun_normal(batch_axis=(0,))
+        lecun = nn.initializers.lecun_normal(batch_axis=(0, 1))
         zeros = nn.initializers.zeros_init()
-        w1 = self.param("w1", lecun, (s, 2, h))
-        b1 = self.param("b1", zeros, (s, h))
-        w2 = self.param("w2", lecun, (s, h, 1))
-        b2 = self.param("b2", zeros, (s, 1))
+        w1 = self.param("w1", lecun, (l, s, 2, h))
+        b1 = self.param("b1", zeros, (l, s, h))
+        w2 = self.param("w2", lecun, (l, s, h, 1))
+        b2 = self.param("b2", zeros, (l, s, 1))
         z = nn.relu(
             jnp.einsum(
-                "bskc,sch->bskh", feat, w1, preferred_element_type=jnp.float32
+                "bskc,lsch->blskh", feat, w1, preferred_element_type=jnp.float32
             )
-            + b1[None, :, None, :]
+            + b1[None, :, :, None, :]
         )
         out = (
             jnp.einsum(
-                "bskh,sho->bsko", z, w2, preferred_element_type=jnp.float32
+                "blskh,lsho->blsko", z, w2, preferred_element_type=jnp.float32
             )
-            + b2[None, :, None, :]
+            + b2[None, :, :, None, :]
         )
-        return out[..., 0]  # [B,S,K]
+        return out[..., 0]  # [B,L,S,K]
+
+
+# Above this many padded nodes the fused channel-stack path (explicit
+# [B,S,N,N] long-scale matrices) costs more FLOPs/memory than the
+# low-rank two-matmul application — S·N²·K MACs to form the matrices vs
+# K·N·F·(1+S) to apply them — so large graphs keep the factored path.
+_FUSED_N_MAX = 128
+
+
+def operator_powers(
+    s_op: jnp.ndarray, dists: Sequence[int]
+) -> jnp.ndarray:
+    """Stack ``[S^t for t in dists]`` → [B,T,N,N], computed once per forward.
+
+    For small N this turns LanczosNet's per-layer sequential short-scale
+    chain (max(dists) dependent matvecs per layer) into a single stacked
+    matmul per layer: the operator powers are layer-independent, so the
+    chain amortizes over all L layers.
+    """
+    max_t = max(dists)
+    pows = {1: s_op}
+    cur = s_op
+    for t in range(2, max_t + 1):
+        cur = jax.lax.dot_general(
+            s_op,
+            cur,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        pows[t] = cur
+    return jnp.stack([pows[t] for t in dists], axis=1)
+
+
+def spectral_layer_channels(
+    h: jnp.ndarray,
+    short_ops: jnp.ndarray | None,
+    ritz_vec: jnp.ndarray | None,
+    filt: jnp.ndarray | None,
+    edge_ops: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """One fused matmul for a LanczosNet layer's propagation channels.
+
+    Builds the channel stack ``[S^t… ‖ V f_s(D) Vᵀ… ‖ A_e…]`` ([B,C,N,N])
+    and applies it to ``h`` in a single batched contraction — profiled
+    r2: the step program is op-count bound at QM8 scale (N=32 fills a
+    quarter of the 128 lanes), so collapsing ~6 small matmuls per layer
+    (3 sequential short hops, 2 low-rank long-scale products, 1 edge
+    einsum) into one [B,C·N,N]×[B,N,F] product is the direct win; the
+    per-channel math is unchanged. Returns ``[B,N,C·F]``.
+    """
+    chans = []
+    if short_ops is not None:
+        chans.append(short_ops)
+    if filt is not None:
+        # M_s = V · diag(f_s(D)) · Vᵀ — explicit low-rank matrices; for
+        # N ≤ _FUSED_N_MAX forming them is cheaper than the factored
+        # two-matmul application and joins the fused stack.
+        scaled_v = filt[:, :, None, :] * ritz_vec[:, None, :, :]  # [B,S,N,K]
+        m = jax.lax.dot_general(
+            scaled_v,
+            ritz_vec,
+            dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+        )  # [B,S,N,N]
+        chans.append(m)
+    if edge_ops is not None:
+        chans.append(edge_ops)
+    stack = jnp.concatenate(chans, axis=1) if len(chans) > 1 else chans[0]
+    feats = jnp.einsum(
+        "bcij,bjf->bcif", stack, h, preferred_element_type=jnp.float32
+    )
+    return flatten_feature_stack(feats)
 
 
 class LanczosNet(nn.Module):
@@ -128,22 +205,44 @@ class LanczosNet(nn.Module):
         b, n = batch.mask.shape
         s_op = batch.ops[:, 0]  # merged-graph operator drives diffusion
 
+        filt_bank = None
+        if self.long_diffusion_dist:
+            filt_bank = SpectralFilterBank(
+                len(self.hidden_dim),
+                tuple(self.long_diffusion_dist),
+                self.spectral_filter_kind,
+                self.filter_hidden_dim,
+                name="spectral_filters",
+            )(batch.ritz_val)  # [B,L,S,K]
+
+        fused = n <= _FUSED_N_MAX
+        short_ops = None
+        if fused and self.short_diffusion_dist:
+            short_ops = operator_powers(s_op, tuple(self.short_diffusion_dist))
+        edge_ops = batch.ops[:, 1:] if batch.num_ops > 1 else None
+
         for li, dim in enumerate(self.hidden_dim):
-            parts = [h]
-            if self.short_diffusion_dist:
-                short = diffusion_features_at(s_op, h, tuple(self.short_diffusion_dist))
-                parts.append(flatten_feature_stack(short))
-            if self.long_diffusion_dist:
-                filt = SpectralFilter(
-                    tuple(self.long_diffusion_dist),
-                    self.spectral_filter_kind,
-                    self.filter_hidden_dim,
-                    name=f"spectral_filter_{li}",
-                )(batch.ritz_val)
-                long = long_scale_features(batch.ritz_vec, filt, h)
-                parts.append(flatten_feature_stack(long))
-            if batch.num_ops > 1:
-                parts.append(edge_message_concat(batch.ops[:, 1:], h))
+            filt = filt_bank[:, li] if filt_bank is not None else None
+            has_chan = (
+                short_ops is not None or filt is not None or edge_ops is not None
+            )
+            if fused and has_chan:
+                prop = spectral_layer_channels(
+                    h, short_ops, batch.ritz_vec, filt, edge_ops
+                )
+                parts = [h, prop]
+            else:
+                parts = [h]
+                if self.short_diffusion_dist:
+                    short = diffusion_features_at(
+                        s_op, h, tuple(self.short_diffusion_dist)
+                    )
+                    parts.append(flatten_feature_stack(short))
+                if filt is not None:
+                    long = long_scale_features(batch.ritz_vec, filt, h)
+                    parts.append(flatten_feature_stack(long))
+                if edge_ops is not None:
+                    parts.append(edge_message_concat(edge_ops, h))
             h = nn.Dense(dim, name=f"layer_{li}")(jnp.concatenate(parts, axis=-1))
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

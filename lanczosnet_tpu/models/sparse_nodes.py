@@ -14,6 +14,15 @@ dense ``[N, N]`` operator (ROADMAP.md #2, VERDICT round-1 #5):
   scales via the low-rank ``V f(D) Vᵀ`` reconstruction from Ritz pairs
   computed by `ops.sparse.sparse_lanczos_ritz` (precomputed once per
   graph, like the dense LanczosNet's data-time D, V).
+- :class:`SparseDCNN` — transition-matrix (row-stochastic) hop features.
+- :class:`SparseGraphSAGE` — exact neighbor-mean aggregation + self
+  concat + L2 normalize.
+- :class:`SparseMPNN` — linear messages aggregated by spmv + shared GRU
+  updates in a `lax.scan`.
+- :class:`SparseGPNN` — partition-scheduled propagation: intra-cluster
+  and cut-graph operators as masked-val views of the one edge list.
+- :class:`SparseAdaLanczosNet` — learned per-edge Gaussian kernel,
+  differentiable COO sym-normalization, in-forward sparse Lanczos.
 
 All take ``(features [N, F], op: SparseOp)``-style inputs and return
 ``[N, C]`` logits; no padding/mask is needed — every node is real.
@@ -28,15 +37,21 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.models.base import MLP
 from lanczosnet_tpu.ops.sparse import (
     SparseOp,
     attention_spmv,
+    live_degree,
+    masked_val_op,
+    mean_spmv,
     segment_softmax_coo,
     sparse_diffusion_features,
+    sparse_lanczos_ritz,
     spmv,
+    sym_normalize_coo,
 )
 
 
@@ -139,6 +154,213 @@ class SparseGAT(nn.Module):
             msg = msg + p_self[..., None] * hp  # implicit self-edge
             h = (msg / denom[..., None]).reshape(h.shape[0], -1)
             h = nn.elu(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_class, name="head")(h)
+
+
+class SparseDCNN(nn.Module):
+    """Diffusion-convolutional features over transition-matrix powers.
+
+    Dense `models/dcnn.py` semantics with a row-stochastic COO operator
+    (`ops.sparse.sparse_row_stochastic_operator`): per layer the hop
+    features ``[P h, …, P^H h]`` are sequential edge-(sharded-)spmvs,
+    mixed with the self state by one Dense.
+    """
+
+    hidden_dim: Sequence[int]
+    num_class: int
+    max_hop: int = 3
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
+    ) -> jnp.ndarray:
+        h = x
+        hops = tuple(range(1, self.max_hop + 1))
+        for li, dim in enumerate(self.hidden_dim):
+            feats = sparse_diffusion_features(op, h, hops)  # [H, N, F]
+            h = jnp.concatenate([h, *feats], axis=-1)
+            h = nn.relu(nn.Dense(dim, name=f"layer_{li}")(h))
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_class, name="head")(h)
+
+
+class SparseGraphSAGE(nn.Module):
+    """Mean-aggregator GraphSAGE at COO scale.
+
+    Dense `models/graph_sage.py` semantics: exact neighbor mean over the
+    operator support (independent of its normalization —
+    `ops.sparse.mean_spmv`), concat self, Dense, ReLU, L2-normalize.
+    """
+
+    hidden_dim: Sequence[int]
+    num_class: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
+    ) -> jnp.ndarray:
+        h = x
+        for li, dim in enumerate(self.hidden_dim):
+            h = jnp.concatenate([h, mean_spmv(op, h)], axis=-1)
+            h = nn.relu(nn.Dense(dim, name=f"layer_{li}")(h))
+            norm = jnp.sqrt(
+                jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True), 1e-12)
+            )
+            h = h / norm
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_class, name="head")(h)
+
+
+class SparseMPNN(nn.Module):
+    """Messages + GRU node updates over COO edges.
+
+    Dense `models/mpnn.py` at its single-edge-type endpoint (citation
+    graphs carry one relation): per propagation step the message is a
+    linear transform of neighbor states aggregated through the
+    normalized operator, and the node state updates with a GRU shared
+    across steps — one `lax.scan`, weights resident across steps.
+    """
+
+    hidden_dim: Sequence[int]  # hidden_dim[0] is the state size
+    num_class: int
+    num_prop: int = 3
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
+    ) -> jnp.ndarray:
+        dim = int(self.hidden_dim[0])
+        h = nn.Dense(dim, name="in_proj")(x)
+
+        glorot = nn.initializers.glorot_uniform()
+        w_msg = self.param("w_msg", glorot, (dim, dim))
+        w_in = self.param("gru_w_in", glorot, (dim, 3 * dim))
+        w_st = self.param("gru_w_st", glorot, (dim, 3 * dim))
+        b_gru = self.param("gru_b", nn.initializers.zeros, (3 * dim,))
+
+        def step(state, _):
+            m = spmv(op, state @ w_msg)
+            gates_in = m @ w_in + b_gru
+            gates_st = state @ w_st
+            zi, ri, ci = jnp.split(gates_in, 3, axis=-1)
+            zs, rs, cs = jnp.split(gates_st, 3, axis=-1)
+            update = nn.sigmoid(zi + zs)
+            reset = nn.sigmoid(ri + rs)
+            cand = jnp.tanh(ci + reset * cs)
+            return (1.0 - update) * state + update * cand, None
+
+        h, _ = jax.lax.scan(step, h, None, length=self.num_prop)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_class, name="head")(h)
+
+
+class SparseGPNN(nn.Module):
+    """Partition-scheduled propagation over COO edges.
+
+    Dense `models/gpnn.py` semantics at sparse scale: a per-node
+    partition id (``part [N]``, from
+    `data/partition.py:sparse_spectral_partition`) splits the edge list
+    into an intra-cluster operator and the cut graph (edges crossing
+    partitions, restricted to the boundary node set). The schedule —
+    ``num_prop`` repetitions of ``num_intra_prop`` intra steps then
+    ``num_cut_prop`` cut steps per layer — runs as masked-val COO ops
+    (`ops.sparse.masked_val_op`): static shapes, identical code edge-
+    sharded and not; non-boundary nodes pass through cut steps
+    unchanged.
+    """
+
+    hidden_dim: Sequence[int]
+    num_class: int
+    num_prop: int = 2
+    num_intra_prop: int = 1
+    num_cut_prop: int = 1
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        op: SparseOp,
+        part: jnp.ndarray,  # [N] int32 partition ids
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        same = part[op.row] == part[op.col]
+        intra_op = masked_val_op(op, same)
+        cut_op = masked_val_op(op, ~same)
+        boundary = (live_degree(cut_op) > 0).astype(x.dtype)[:, None]  # [N,1]
+
+        h = x
+        for li, dim in enumerate(self.hidden_dim):
+            for p in range(self.num_prop):
+                for i in range(self.num_intra_prop):
+                    z = jnp.concatenate([h, spmv(intra_op, h)], axis=-1)
+                    h = nn.relu(nn.Dense(dim, name=f"intra_{li}_{p}_{i}")(z))
+                for c in range(self.num_cut_prop):
+                    z = jnp.concatenate([h, spmv(cut_op, h)], axis=-1)
+                    upd = nn.relu(nn.Dense(dim, name=f"cut_{li}_{p}_{c}")(z))
+                    if h.shape[-1] != dim:
+                        h = nn.Dense(dim, name=f"carry_{li}_{p}_{c}")(h)
+                    h = boundary * upd + (1.0 - boundary) * h
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_class, name="head")(h)
+
+
+class SparseAdaLanczosNet(nn.Module):
+    """Learned kernel + in-forward Lanczos at COO scale.
+
+    Dense `models/ada_lanczos_net.py` with the learned Gaussian kernel
+    restricted to the graph support (its `use_graph_support: true`
+    case — the only form that stays O(E)): per-edge kernel
+    ``exp(−‖e_i − e_j‖²/√d)`` on existing edges, differentiable COO
+    sym-normalization (`ops.sparse.sym_normalize_coo`), then the K-step
+    Lanczos runs in-forward with the learned operator's spmv as the
+    matvec callback — gradients flow through the kernel, the
+    normalization, the recursion, and the tridiagonal eigensolve.
+    """
+
+    hidden_dim: Sequence[int]
+    num_class: int
+    kernel_dim: int = 16
+    short_diffusion_dist: Sequence[int] = (1, 2)
+    long_diffusion_dist: Sequence[int] = (5, 10)
+    num_eig_vec: int = 20
+    filter_hidden_dim: int = 16
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
+    ) -> jnp.ndarray:
+        emb = nn.Dense(self.kernel_dim, name="kernel_embed")(x)
+        d2 = jnp.sum((emb[op.row] - emb[op.col]) ** 2, axis=-1)  # [E]
+        kernel = jnp.exp(-d2 / jnp.sqrt(float(self.kernel_dim)))
+        lop = sym_normalize_coo(op, kernel)
+        ritz_val, ritz_vec = sparse_lanczos_ritz(lop, self.num_eig_vec)
+
+        h = x
+        for li, dim in enumerate(self.hidden_dim):
+            parts = [h]
+            if self.short_diffusion_dist:
+                parts.extend(
+                    sparse_diffusion_features(
+                        lop, h, tuple(self.short_diffusion_dist)
+                    )
+                )
+            for t in self.long_diffusion_dist:
+                feat = jnp.stack([ritz_val, ritz_val**t], axis=-1)  # [K, 2]
+                f = MLP((self.filter_hidden_dim, 1),
+                        name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
+                vtx = ritz_vec.T @ h  # [K, F]
+                parts.append(ritz_vec @ (f[:, None] * vtx))
+            h = nn.relu(
+                nn.Dense(dim, name=f"layer_{li}")(
+                    jnp.concatenate(parts, axis=-1)
+                )
+            )
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(self.num_class, name="head")(h)
 

@@ -27,7 +27,10 @@ def safe_eigh(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     eigenvalues ascending. Differentiable with clamped degenerate terms.
     """
     sym = 0.5 * (a + jnp.swapaxes(a, -1, -2))
-    return jnp.linalg.eigh(sym)
+    w, v = jnp.linalg.eigh(sym)
+    # Plain tuple, not EighResult: the custom-VJP fwd rule's primal
+    # output must match this function's pytree structure exactly.
+    return w, v
 
 
 def _fwd(a):

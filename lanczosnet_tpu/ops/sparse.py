@@ -77,6 +77,81 @@ def sparse_sym_operator(
     )
 
 
+def sparse_row_stochastic_operator(
+    edges: np.ndarray, n: int
+) -> SparseOp:
+    """Build the transition matrix ``D^{-1} A`` in COO form (row-
+    stochastic — DCNN's diffusion operator, the sparse analog of the
+    dense pipeline's ``operator_kind: row``)."""
+    e = np.asarray(edges, np.int64)
+    row = np.concatenate([e[:, 0], e[:, 1]])
+    col = np.concatenate([e[:, 1], e[:, 0]])
+    deg = np.bincount(row, minlength=n).astype(np.float64)
+    val = (1.0 / np.maximum(deg, 1.0))[row].astype(np.float32)
+    return SparseOp(
+        row=jnp.asarray(row, jnp.int32),
+        col=jnp.asarray(col, jnp.int32),
+        val=jnp.asarray(val),
+        n=n,
+    )
+
+
+def live_degree(op: SparseOp) -> jnp.ndarray:
+    """Per-node count of live incoming edges (``val != 0``), psum-
+    completed across edge shards — the structural degree regardless of
+    the operator's normalization."""
+    live = (op.val != 0.0).astype(jnp.float32)
+    deg = jax.ops.segment_sum(live, op.row, num_segments=op.n)
+    if op.axis is not None:
+        deg = jax.lax.psum(deg, op.axis)
+    return deg
+
+
+def mean_spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact neighbor mean over the operator's support, independent of
+    its normalization (GraphSAGE's aggregator — the sparse analog of
+    dense `models/graph_sage.py` recomputing ``support / deg``)."""
+    live = (op.val != 0.0).astype(x.dtype)
+    msg = live[:, None] * x[op.col] if x.ndim == 2 else live * x[op.col]
+    out = jax.ops.segment_sum(msg, op.row, num_segments=op.n)
+    deg = jax.ops.segment_sum(live, op.row, num_segments=op.n)
+    if op.axis is not None:
+        out = jax.lax.psum(out, op.axis)
+        deg = jax.lax.psum(deg, op.axis)
+    deg = jnp.maximum(deg, 1.0)
+    return out / (deg[:, None] if x.ndim == 2 else deg)
+
+
+def masked_val_op(op: SparseOp, keep: jnp.ndarray) -> SparseOp:
+    """A view of ``op`` with edges where ``keep`` is False zeroed out.
+
+    Keeps shapes static (liveness rides ``val != 0``), so partition-
+    restricted operators (GPNN's intra/cut split) are free elementwise
+    masks — no gather/compaction, identical code sharded and not.
+    """
+    return op.replace(val=jnp.where(keep, op.val, 0.0))
+
+
+def sym_normalize_coo(
+    op: SparseOp, kernel: jnp.ndarray, eps: float = 1e-12
+) -> SparseOp:
+    """``D^{-1/2} K D^{-1/2}`` of per-edge kernel weights, differentiably.
+
+    The sparse counterpart of `ops/normalize.py:sym_normalize` for a
+    learned kernel living on the COO support (AdaLanczosNet's in-forward
+    operator): degrees are segment sums of the kernel (psum-completed
+    across edge shards), and gradients flow through both the kernel and
+    the normalization.
+    """
+    live = (op.val != 0.0).astype(kernel.dtype)
+    k = kernel * live
+    deg = jax.ops.segment_sum(k, op.row, num_segments=op.n)
+    if op.axis is not None:
+        deg = jax.lax.psum(deg, op.axis)
+    inv_sqrt = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, eps)), 0.0)
+    return op.replace(val=k * inv_sqrt[op.row] * inv_sqrt[op.col])
+
+
 def spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     """``S @ x`` for x ``[N]`` or ``[N, F]`` via gather + segment-sum.
 

@@ -5,8 +5,10 @@ full-batch steps, early stopping on val accuracy, best-snapshot test)
 but the graph operator lives as COO edges (`ops/sparse.py`), so memory
 scales with edges, not N² — the path for graphs far beyond Pubmed.
 
-Select with ``runner: SparseCitationRunner``; model names ``GCN`` /
-``ChebyNet`` / ``GAT`` / ``LanczosNet`` map to the sparse members.
+Select with ``runner: SparseCitationRunner``; all nine model-family
+names map to the sparse members of `models/sparse_nodes.py` (DCNN gets
+a row-stochastic operator, GPNN a spectral partition of the edge list,
+AdaLanczosNet the in-forward learned-kernel Lanczos).
 
 Set ``train.num_devices > 1`` to edge-shard the operator over a mesh
 (`parallel/mesh.py:shard_sparse_op`): the whole forward runs inside a
@@ -35,15 +37,22 @@ from lanczosnet_tpu.data.citation import (
     synthetic_citation_edges,
     synthetic_citation_graph,
 )
+from lanczosnet_tpu.data.partition import sparse_spectral_partition
 from lanczosnet_tpu.models.sparse_nodes import (
+    SparseAdaLanczosNet,
     SparseChebyNet,
+    SparseDCNN,
     SparseGAT,
     SparseGCN,
+    SparseGPNN,
+    SparseGraphSAGE,
     SparseLanczosNet,
+    SparseMPNN,
 )
 from lanczosnet_tpu.ops.sparse import (
     SparseOp,
     sparse_lanczos_ritz,
+    sparse_row_stochastic_operator,
     sparse_sym_operator,
 )
 from lanczosnet_tpu.parallel.mesh import (
@@ -59,11 +68,13 @@ from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
 
 
-def sharded_sparse_apply(mesh, model, params, x, op, ritz=None,
+def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
                          deterministic=True, rng=None):
     """Run ``model.apply`` inside a shard_map with edge-sharded COO.
 
-    params/x/ritz replicated, op.row/col/val sharded P(data); outputs
+    params/x/extras replicated (extras = any trailing positional model
+    inputs, e.g. LanczosNet's Ritz pair or GPNN's partition ids),
+    op.row/col/val sharded P(data); outputs
     are replicated because every segment reduction inside ops/sparse.py
     psums over the edge axis. Differentiable from outside — shard_map
     transposes the psums and sums replicated-input cotangents.
@@ -72,27 +83,27 @@ def sharded_sparse_apply(mesh, model, params, x, op, ritz=None,
         row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
         n=op.n, axis=op.axis,
     )
-    ritz = tuple(ritz) if ritz is not None else ()
-    ritz_specs = tuple(P() for _ in ritz)
+    extras = tuple(extras) if extras is not None else ()
+    extra_specs = tuple(P() for _ in extras)
     rng_args = (rng,) if rng is not None else ()
     rng_specs = (P(),) if rng is not None else ()
 
     def body(params, lop, x, *rest):
-        ritz_vals = rest[: len(ritz)]
+        extra_vals = rest[: len(extras)]
         rngs = (
-            {"dropout": rest[len(ritz)]} if rng is not None else None
+            {"dropout": rest[len(extras)]} if rng is not None else None
         )
         return model.apply(
-            {"params": params}, x, lop, *ritz_vals,
+            {"params": params}, x, lop, *extra_vals,
             deterministic=deterministic, rngs=rngs,
         )
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), op_specs, P()) + ritz_specs + rng_specs,
+        in_specs=(P(), op_specs, P()) + extra_specs + rng_specs,
         out_specs=P(),
-    )(params, op, x, *ritz, *rng_args)
+    )(params, op, x, *extras, *rng_args)
 
 
 class SparseCitationRunner:
@@ -130,7 +141,12 @@ class SparseCitationRunner:
             if "edges" in graph
             else np.argwhere(np.triu(graph["adj"], 1) > 0)
         )
-        self.op = sparse_sym_operator(edges, n)
+        # DCNN diffuses over the transition matrix (dense path's
+        # `operator_kind: row`); everything else is sym-normalized.
+        if config.model["name"] == "DCNN":
+            self.op = sparse_row_stochastic_operator(edges, n)
+        else:
+            self.op = sparse_sym_operator(edges, n)
         self.x = jnp.asarray(graph["features"])
         self.labels = jnp.asarray(graph["labels"].astype(np.int32))
         self.splits = {
@@ -155,11 +171,12 @@ class SparseCitationRunner:
         name = mcfg["name"]
         hidden = tuple(mcfg.get("hidden_dim", (64,)))
         c = int(graph["num_class"])
-        self.ritz = None
+        drop = float(mcfg.get("dropout", 0.5))
+        self.extras = None
         if name == "LanczosNet":
             k = int(mcfg.get("num_eig_vec", 20))
             if self.mesh is None:
-                self.ritz = sparse_lanczos_ritz(self.op, k)
+                self.extras = sparse_lanczos_ritz(self.op, k)
             else:
                 # the Ritz precompute itself runs edge-sharded: the
                 # Lanczos matvec callback is the sharded spmv
@@ -167,7 +184,7 @@ class SparseCitationRunner:
                     row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
                     n=self.op.n, axis=self.op.axis,
                 )
-                self.ritz = jax.jit(jax.shard_map(
+                self.extras = jax.jit(jax.shard_map(
                     lambda lop: sparse_lanczos_ritz(lop, k),
                     mesh=self.mesh,
                     in_specs=(op_specs,),
@@ -183,29 +200,79 @@ class SparseCitationRunner:
                     mcfg.get("long_diffusion_dist", (5, 10))
                 ),
                 filter_hidden_dim=int(mcfg.get("filter_hidden_dim", 16)),
-                dropout=float(mcfg.get("dropout", 0.5)),
+                dropout=drop,
+            )
+        elif name == "AdaLanczosNet":
+            self.model = SparseAdaLanczosNet(
+                hidden_dim=hidden,
+                num_class=c,
+                kernel_dim=int(mcfg.get("kernel_dim", 16)),
+                short_diffusion_dist=tuple(
+                    mcfg.get("short_diffusion_dist", (1, 2))
+                ),
+                long_diffusion_dist=tuple(
+                    mcfg.get("long_diffusion_dist", (5, 10))
+                ),
+                num_eig_vec=int(mcfg.get("num_eig_vec", 20)),
+                filter_hidden_dim=int(mcfg.get("filter_hidden_dim", 16)),
+                dropout=drop,
             )
         elif name == "GCN":
-            self.model = SparseGCN(
-                hidden_dim=hidden, num_class=c,
-                dropout=float(mcfg.get("dropout", 0.5)),
-            )
+            self.model = SparseGCN(hidden_dim=hidden, num_class=c, dropout=drop)
         elif name == "ChebyNet":
             self.model = SparseChebyNet(
                 hidden_dim=hidden, num_class=c,
                 poly_order=int(mcfg.get("poly_order", 3)),
-                dropout=float(mcfg.get("dropout", 0.5)),
+                dropout=drop,
             )
         elif name == "GAT":
             self.model = SparseGAT(
                 hidden_dim=hidden, num_class=c,
                 num_head=int(mcfg.get("num_head", 4)),
-                dropout=float(mcfg.get("dropout", 0.5)),
+                dropout=drop,
+            )
+        elif name == "DCNN":
+            self.model = SparseDCNN(
+                hidden_dim=hidden, num_class=c,
+                max_hop=int(mcfg.get("max_hop", 3)),
+                dropout=drop,
+            )
+        elif name == "GraphSAGE":
+            self.model = SparseGraphSAGE(
+                hidden_dim=hidden, num_class=c, dropout=drop
+            )
+        elif name == "MPNN":
+            self.model = SparseMPNN(
+                hidden_dim=hidden, num_class=c,
+                num_prop=int(mcfg.get("num_prop", 3)),
+                dropout=drop,
+            )
+        elif name == "GPNN":
+            # partition ids from the UNSHARDED operator (host-side,
+            # one-off — same role as data/partition.py at pack time)
+            part = sparse_spectral_partition(
+                self.init_op,
+                int(mcfg.get("num_partition", 2)),
+                seed=int(config.seed),
+            )
+            self.extras = (jnp.asarray(part, jnp.int32),)
+            self.model = SparseGPNN(
+                hidden_dim=hidden, num_class=c,
+                num_prop=int(mcfg.get("num_prop", 2)),
+                num_intra_prop=int(mcfg.get("num_intra_prop", 1)),
+                num_cut_prop=int(mcfg.get("num_cut_prop", 1)),
+                dropout=drop,
             )
         else:
             raise KeyError(
-                "SparseCitationRunner supports GCN | ChebyNet | GAT | "
-                f"LanczosNet, got {name!r}"
+                "SparseCitationRunner supports all nine model families "
+                f"(GCN | ChebyNet | GAT | DCNN | GraphSAGE | MPNN | GPNN "
+                f"| LanczosNet | AdaLanczosNet), got {name!r}"
+            )
+        if self.mesh is not None and self.extras is not None:
+            rsh = replicate_sharding(self.mesh)
+            self.extras = tuple(
+                jax.device_put(e, rsh) for e in self.extras
             )
         self.log.info(
             "sparse citation runner: model=%s dataset=%s nodes=%d edges=%d "
@@ -218,12 +285,12 @@ class SparseCitationRunner:
         if self.mesh is not None:
             return sharded_sparse_apply(
                 self.mesh, self.model, params, self.x, self.op,
-                ritz=self.ritz, deterministic=deterministic,
+                extras=self.extras, deterministic=deterministic,
                 rng=None if rngs is None else rngs["dropout"],
             )
         args = (self.x, self.op)
-        if self.ritz is not None:
-            args = args + tuple(self.ritz)
+        if self.extras is not None:
+            args = args + tuple(self.extras)
         return self.model.apply(
             {"params": params}, *args, deterministic=deterministic, rngs=rngs
         )
@@ -236,7 +303,7 @@ class SparseCitationRunner:
         params = self.model.init(
             {"params": p_rng, "dropout": d_rng},
             self.x, self.init_op,
-            *(self.ritz if self.ritz is not None else ()),
+            *(self.extras if self.extras is not None else ()),
             deterministic=True,
         )["params"]
         if self.mesh is not None:

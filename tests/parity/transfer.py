@@ -27,19 +27,19 @@ def _readout(treadout, fparams: dict) -> None:
 
 
 def _spectral_filters(tmodel, params: dict, num_layers: int, long_dists) -> None:
-    """The flax filters are a stacked bank (w1 [S,2,H], b1 [S,H],
-    w2 [S,H,1], b2 [S,1]); the torch twin keeps the reference's
-    per-scale MLPs — slice scale s for each t."""
+    """The flax filters are one cross-layer bank (w1 [L,S,2,H], b1
+    [L,S,H], w2 [L,S,H,1], b2 [L,S,1]); the torch twin keeps the
+    reference's per-(layer, scale) MLPs — slice (li, s) for each."""
+    sf = params["spectral_filters"]
+    w1, b1 = np.asarray(sf["w1"]), np.asarray(sf["b1"])
+    w2, b2 = np.asarray(sf["w2"]), np.asarray(sf["b2"])
     for li in range(num_layers):
-        sf = params[f"spectral_filter_{li}"]
-        w1, b1 = np.asarray(sf["w1"]), np.asarray(sf["b1"])
-        w2, b2 = np.asarray(sf["w2"]), np.asarray(sf["b2"])
         for s, t in enumerate(long_dists):
             seq = tmodel.spectral_filters[li].filters[f"t{t}"]
-            seq[0].weight.data = torch.from_numpy(w1[s].T.copy())
-            seq[0].bias.data = torch.from_numpy(b1[s].copy())
-            seq[2].weight.data = torch.from_numpy(w2[s].T.copy())
-            seq[2].bias.data = torch.from_numpy(b2[s].copy())
+            seq[0].weight.data = torch.from_numpy(w1[li, s].T.copy())
+            seq[0].bias.data = torch.from_numpy(b1[li, s].copy())
+            seq[2].weight.data = torch.from_numpy(w2[li, s].T.copy())
+            seq[2].bias.data = torch.from_numpy(b2[li, s].copy())
 
 
 def load_lanczos_net(tmodel, params: dict, num_layers: int, long_dists) -> None:

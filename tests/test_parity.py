@@ -147,11 +147,12 @@ def test_lanczos_net_activation_parity(shape_name, batch):
         tpred, tinter = tmodel(_to_torch_batch(batch))
 
     _cmp("encoder", tinter["encoder"], inter["NodeEncoder_0"]["__call__"][0], 1e-5)
+    filt_bank = inter["spectral_filters"]["__call__"][0]  # [B,L,S,K]
     for li in range(len(HIDDEN)):
         _cmp(
             f"spectral_filter_{li}",
             tinter[f"spectral_filter_{li}"],
-            inter[f"spectral_filter_{li}"]["__call__"][0],
+            filt_bank[:, li],
             1e-5,
         )
         _cmp(

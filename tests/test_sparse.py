@@ -66,10 +66,127 @@ def test_sparse_lanczos_matches_dense_lanczos():
     np.testing.assert_allclose(rec_sp, rec_d, atol=1e-3)
 
 
+def test_row_stochastic_spmv_matches_dense():
+    from lanczosnet_tpu.ops.sparse import sparse_row_stochastic_operator
+
+    g = synthetic_citation_graph("cora", seed=3, scale=0.08)
+    n = g["labels"].shape[0]
+    edges = np.argwhere(np.triu(g["adj"], 1) > 0)
+    op = sparse_row_stochastic_operator(edges, n)
+    a = g["adj"]
+    p = a / np.maximum(a.sum(-1, keepdims=True), 1.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmv(op, x)), np.asarray(p @ np.asarray(x)), atol=1e-4
+    )
+
+
+def test_mean_spmv_matches_dense_mean():
+    from lanczosnet_tpu.ops.sparse import mean_spmv
+
+    op, s, n = small_sparse_and_dense(seed=5)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    support = (np.asarray(s) > 0).astype(np.float32)
+    mean = support @ np.asarray(x) / np.maximum(
+        support.sum(-1, keepdims=True), 1.0
+    )
+    np.testing.assert_allclose(np.asarray(mean_spmv(op, x)), mean, atol=1e-5)
+
+
+def test_sym_normalize_coo_matches_dense():
+    from lanczosnet_tpu.ops.normalize import sym_normalize
+    from lanczosnet_tpu.ops.sparse import sym_normalize_coo
+
+    op, s, n = small_sparse_and_dense(seed=7)
+    rng = np.random.default_rng(4)
+    # a positive per-edge kernel, symmetric (k_ij == k_ji)
+    kv = rng.random(op.val.shape[0]).astype(np.float32) + 0.1
+    row, col = np.asarray(op.row), np.asarray(op.col)
+    dense_k = np.zeros((n, n), np.float32)
+    dense_k[row, col] = kv
+    dense_k = 0.5 * (dense_k + dense_k.T)
+    kv_sym = dense_k[row, col]
+    lop = sym_normalize_coo(op, jnp.asarray(kv_sym))
+    dense = np.asarray(
+        sym_normalize(jnp.asarray(dense_k)[None], jnp.ones((1, n)))
+    )[0]
+    got = np.zeros((n, n), np.float32)
+    got[row, col] = np.asarray(lop.val)
+    np.testing.assert_allclose(got, dense, atol=1e-5)
+
+
+def test_sparse_gpnn_needs_cut_step():
+    """Cross-partition Jacobian is exactly zero without cut steps and
+    nonzero with them — the sparse analog of tests/test_gpnn_schedule.py."""
+    import jax
+
+    from lanczosnet_tpu.models.sparse_nodes import SparseGPNN
+
+    # line graph 0-1-2-3, partition {0,1} | {2,3}
+    edges = np.array([[0, 1], [1, 2], [2, 3]])
+    op = sparse_sym_operator(edges, 4)
+    part = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    x = jnp.asarray(np.eye(4, 3, dtype=np.float32))
+
+    def probe(num_cut):
+        model = SparseGPNN(
+            hidden_dim=(8,), num_class=2, num_prop=2,
+            num_intra_prop=1, num_cut_prop=num_cut, dropout=0.0,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), x, op, part, deterministic=True
+        )["params"]
+
+        def out_of_in(xin):
+            logits = model.apply(
+                {"params": params}, xin, op, part, deterministic=True
+            )
+            return logits[3]  # node in partition 1
+
+        jac = jax.jacobian(out_of_in)(x)  # [C, N, F]
+        return np.abs(np.asarray(jac[:, 0])).max()  # wrt node 0 (part 0)
+
+    assert probe(0) == 0.0
+    assert probe(1) > 1e-6
+
+
+def test_sparse_ada_lanczos_grads_flow():
+    """Gradients reach the learned kernel through the in-forward sparse
+    Lanczos (the whole point of AdaLanczosNet)."""
+    import jax
+
+    from lanczosnet_tpu.models.sparse_nodes import SparseAdaLanczosNet
+
+    op, _, n = small_sparse_and_dense(seed=9)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((n, 6)).astype(np.float32))
+    model = SparseAdaLanczosNet(
+        hidden_dim=(8,), num_class=3, kernel_dim=4, num_eig_vec=5,
+        short_diffusion_dist=(1,), long_diffusion_dist=(3,), dropout=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0), x, op, deterministic=True)["params"]
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x, op, deterministic=True) ** 2)
+
+    grads = jax.grad(loss)(params)
+    g = np.asarray(grads["kernel_embed"]["kernel"])
+    assert np.isfinite(g).all() and np.abs(g).max() > 0.0
+
+
 @pytest.mark.parametrize("name,kw", [
     ("GCN", {}),
     ("LanczosNet", {"num_eig_vec": 6, "short_diffusion_dist": [1, 2],
                     "long_diffusion_dist": [3, 5]}),
+    ("DCNN", {"max_hop": 2}),
+    ("GraphSAGE", {}),
+    ("MPNN", {"num_prop": 2}),
+    ("GPNN", {"num_partition": 2, "num_prop": 2}),
+    ("AdaLanczosNet", {"num_eig_vec": 6, "kernel_dim": 8,
+                       "short_diffusion_dist": [1, 2],
+                       "long_diffusion_dist": [3, 5]}),
 ])
 def test_sparse_citation_runner_end_to_end(tmp_path, name, kw):
     import pathlib

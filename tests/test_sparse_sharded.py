@@ -112,7 +112,7 @@ def test_sharded_lanczosnet_with_sharded_ritz():
     out0 = model.apply({"params": params}, x, op, *ritz_single)
     out1 = jax.jit(
         lambda p: sharded_sparse_apply(
-            mesh, model, p, x, sop, ritz=ritz_sharded
+            mesh, model, p, x, sop, extras=ritz_sharded
         )
     )(params)
     np.testing.assert_allclose(
