@@ -44,12 +44,14 @@ from lanczosnet_tpu.models.base import MLP
 from lanczosnet_tpu.ops.sparse import (
     SparseOp,
     attention_spmv,
+    gather_nodes,
     live_degree,
     masked_val_op,
     mean_spmv,
     segment_softmax_coo,
     sparse_diffusion_features,
     sparse_lanczos_ritz,
+    spectral_project,
     spmv,
     sym_normalize_coo,
 )
@@ -144,7 +146,8 @@ class SparseGAT(nn.Module):
             s_dst = jnp.sum(hp * a_dst[None], axis=-1)  # [N, H]
             # edge (i <- j): destination=row (segment), source=col
             logits = nn.leaky_relu(
-                s_dst[op.row] + s_src[op.col], self.negative_slope
+                s_dst[op.row] + gather_nodes(op, s_src)[op.col],
+                self.negative_slope,
             )  # [E, H]
             self_logits = nn.leaky_relu(
                 s_dst + s_src, self.negative_slope
@@ -288,7 +291,7 @@ class SparseGPNN(nn.Module):
         part: jnp.ndarray,  # [N] int32 partition ids
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        same = part[op.row] == part[op.col]
+        same = part[op.row] == gather_nodes(op, part)[op.col]
         intra_op = masked_val_op(op, same)
         cut_op = masked_val_op(op, ~same)
         boundary = (live_degree(cut_op) > 0).astype(x.dtype)[:, None]  # [N,1]
@@ -336,7 +339,8 @@ class SparseAdaLanczosNet(nn.Module):
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
         emb = nn.Dense(self.kernel_dim, name="kernel_embed")(x)
-        d2 = jnp.sum((emb[op.row] - emb[op.col]) ** 2, axis=-1)  # [E]
+        embg = gather_nodes(op, emb)
+        d2 = jnp.sum((emb[op.row] - embg[op.col]) ** 2, axis=-1)  # [E]
         kernel = jnp.exp(-d2 / jnp.sqrt(float(self.kernel_dim)))
         lop = sym_normalize_coo(op, kernel)
         ritz_val, ritz_vec = sparse_lanczos_ritz(lop, self.num_eig_vec)
@@ -354,7 +358,7 @@ class SparseAdaLanczosNet(nn.Module):
                 feat = jnp.stack([ritz_val, ritz_val**t], axis=-1)  # [K, 2]
                 f = MLP((self.filter_hidden_dim, 1),
                         name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
-                vtx = ritz_vec.T @ h  # [K, F]
+                vtx = spectral_project(lop, ritz_vec, h)  # [K, F]
                 parts.append(ritz_vec @ (f[:, None] * vtx))
             h = nn.relu(
                 nn.Dense(dim, name=f"layer_{li}")(
@@ -394,7 +398,7 @@ class SparseLanczosNet(nn.Module):
                 feat = jnp.stack([ritz_val, ritz_val**t], axis=-1)  # [K, 2]
                 f = MLP((self.filter_hidden_dim, 1),
                         name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
-                vtx = ritz_vec.T @ h  # [K, F]
+                vtx = spectral_project(op, ritz_vec, h)  # [K, F]
                 parts.append(ritz_vec @ (f[:, None] * vtx))
             h = nn.relu(
                 nn.Dense(dim, name=f"layer_{li}")(

@@ -48,6 +48,19 @@ def _norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(jnp.sum(x * x), eps * eps))
 
 
+def _start_raw(mask: jnp.ndarray, index_offset) -> jnp.ndarray:
+    """Unnormalized quasi-random start vector over *global* node ids.
+
+    ``index_offset`` shifts the node-index argument of the sinusoids —
+    a node-sharded caller passes its block start so every shard
+    evaluates the same global vector it would see unsharded.
+    """
+    n = mask.shape[-1]
+    i = jnp.arange(n, dtype=jnp.float32) + index_offset
+    v = 1.0 + jnp.sin(1.9 * i + 0.7) + 0.5 * jnp.cos(0.37 * i * i + 0.3)
+    return v * mask
+
+
 def lanczos_start_vector(mask: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Deterministic *generic* start vector ``q0`` for the recursion.
 
@@ -62,10 +75,7 @@ def lanczos_start_vector(mask: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
     mask ``[..., N]`` → unit-norm ``q0 [..., N]`` supported on mask.
     """
-    n = mask.shape[-1]
-    i = jnp.arange(n, dtype=jnp.float32)
-    v = 1.0 + jnp.sin(1.9 * i + 0.7) + 0.5 * jnp.cos(0.37 * i * i + 0.3)
-    v = v * mask
+    v = _start_raw(mask, 0)
     norm = jnp.sqrt(
         jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps * eps)
     )
@@ -77,6 +87,8 @@ def lanczos_tridiag_matvec(
     mask: jnp.ndarray,
     k: int,
     eps: float = 1e-6,
+    axis: str | None = None,
+    index_offset=0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """K-step Lanczos driven by an operator *callback* — the operator
     never needs to exist as a dense matrix, which is what makes the
@@ -87,26 +99,40 @@ def lanczos_tridiag_matvec(
       mask: ``[N]`` node mask (1 real / 0 pad).
       k: number of Lanczos steps (static).
       eps: breakdown threshold on β.
+      axis: mesh-axis name when the node axis is *sharded* across
+        devices (`ops/sparse.py` node-sharded mode): every node-axis
+        inner product (α, β, the CGS2 projections, the start-vector
+        norm) finishes with a ``psum`` so each shard runs the exact
+        global recursion on its rows.
+      index_offset: this shard's global node-id offset (so the
+        quasi-random start vector is the same global vector unsharded
+        and sharded).
 
-    Returns: same contract as :func:`lanczos_tridiag`.
+    Returns: same contract as :func:`lanczos_tridiag` (``q`` holding
+    this shard's rows of the basis when ``axis`` is set).
     """
     n = mask.shape[0]
     dtype = mask.dtype
-    q0 = lanczos_start_vector(mask, eps).astype(dtype)
+
+    def _psum(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
+
+    q0 = _start_raw(mask, index_offset).astype(dtype)
+    q0 = q0 / jnp.sqrt(jnp.maximum(_psum(jnp.sum(q0 * q0)), eps * eps))
     q_buf = jnp.zeros((k, n), dtype).at[0].set(q0)
 
     def step(carry, j):
         q_buf, beta_prev, q_prev = carry
         q_j = q_buf[j]
         w = matvec(q_j)
-        alpha = jnp.dot(q_j, w)
+        alpha = _psum(jnp.dot(q_j, w))
         w = w - alpha * q_j - beta_prev * q_prev
         # Full reorthogonalization, two classical Gram-Schmidt passes.
         # Rows of q_buf beyond j are zero, so projecting against the
         # whole fixed-shape buffer is both correct and TPU-friendly.
         for _ in range(2):
-            w = w - q_buf.T @ (q_buf @ w)
-        beta = _norm(w, eps)
+            w = w - q_buf.T @ _psum(q_buf @ w)
+        beta = jnp.sqrt(jnp.maximum(_psum(jnp.sum(w * w)), eps * eps))
         valid = (beta > eps).astype(dtype)
         q_next = valid * w / beta
         q_buf = jax.lax.cond(
@@ -120,9 +146,15 @@ def lanczos_tridiag_matvec(
     # The recursion lives or dies on orthogonality — bf16 MXU inputs
     # (the TPU matmul default) visibly decohere the basis and drift
     # from the f32 Pallas kernel, so force full f32 contractions.
+    q_prev0 = jnp.zeros((n,), dtype)
+    if axis is not None:
+        # Under shard_map the q vectors are device-varying row blocks;
+        # the initial zero carry must carry the same vma type or the
+        # scan rejects the carry as type-changing.
+        q_prev0 = jax.lax.pcast(q_prev0, (axis,), to="varying")
     with jax.default_matmul_precision("float32"):
         (q_buf, _, _), (alphas, betas) = jax.lax.scan(
-            step, (q_buf, jnp.zeros((), dtype), jnp.zeros((n,), dtype)),
+            step, (q_buf, jnp.zeros((), dtype), q_prev0),
             jnp.arange(k),
         )
     return alphas, betas[:-1], q_buf

@@ -45,6 +45,16 @@ class SparseOp:
         `shard_map` over that axis (`parallel/mesh.py:shard_sparse_op`).
         Because the axis tag rides the pytree, model code is identical
         sharded and unsharded.
+      gather_axis: optional mesh-axis name for the *node-sharded* mode
+        (`parallel/mesh.py:node_shard_sparse_op`): node arrays are
+        sharded into contiguous blocks of ``n`` rows per device and the
+        edge shard holds exactly the edges whose DESTINATION lies in
+        this device's block (``row`` is block-local, ``col`` global).
+        Every segment reduction is then fully local — no psum — and the
+        one collective is the source gather: anything indexed by
+        ``col`` goes through :func:`gather_nodes` (``all_gather`` over
+        ICI; its transpose is a reduce-scatter, so gradients ride the
+        same links). Mutually exclusive with ``axis``.
     """
 
     row: jnp.ndarray
@@ -52,6 +62,16 @@ class SparseOp:
     val: jnp.ndarray
     n: int = flax.struct.field(pytree_node=False)
     axis: str | None = flax.struct.field(pytree_node=False, default=None)
+    gather_axis: str | None = flax.struct.field(
+        pytree_node=False, default=None
+    )
+
+    def __post_init__(self):
+        if self.axis is not None and self.gather_axis is not None:
+            raise ValueError(
+                "SparseOp cannot be both edge-sharded (axis) and "
+                "node-sharded (gather_axis)"
+            )
 
 
 def sparse_sym_operator(
@@ -96,6 +116,31 @@ def sparse_row_stochastic_operator(
     )
 
 
+def gather_nodes(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
+    """Materialize the full node-axis view of ``x`` for ``col`` indexing.
+
+    Unsharded / edge-sharded ops: identity (x already spans all nodes).
+    Node-sharded ops: ``all_gather`` the per-device blocks into the
+    global ``[n_total, ...]`` array — transient (alive only for the
+    gather-index-reduce), so persistent state stays 1/D per device.
+    """
+    if op.gather_axis is None:
+        return x
+    return jax.lax.all_gather(x, op.gather_axis, axis=0, tiled=True)
+
+
+def spectral_project(
+    op: SparseOp, ritz_vec: jnp.ndarray, h: jnp.ndarray
+) -> jnp.ndarray:
+    """``Vᵀ h`` — the node-axis contraction of LanczosNet's low-rank
+    long-scale term. Node-sharded ops hold V and h as row blocks, so
+    the local ``[K, F]`` partial product is psum-completed."""
+    vtx = ritz_vec.T @ h
+    if op.gather_axis is not None:
+        vtx = jax.lax.psum(vtx, op.gather_axis)
+    return vtx
+
+
 def live_degree(op: SparseOp) -> jnp.ndarray:
     """Per-node count of live incoming edges (``val != 0``), psum-
     completed across edge shards — the structural degree regardless of
@@ -112,7 +157,8 @@ def mean_spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     its normalization (GraphSAGE's aggregator — the sparse analog of
     dense `models/graph_sage.py` recomputing ``support / deg``)."""
     live = (op.val != 0.0).astype(x.dtype)
-    msg = live[:, None] * x[op.col] if x.ndim == 2 else live * x[op.col]
+    xg = gather_nodes(op, x)
+    msg = live[:, None] * xg[op.col] if x.ndim == 2 else live * xg[op.col]
     out = jax.ops.segment_sum(msg, op.row, num_segments=op.n)
     deg = jax.ops.segment_sum(live, op.row, num_segments=op.n)
     if op.axis is not None:
@@ -149,7 +195,11 @@ def sym_normalize_coo(
     if op.axis is not None:
         deg = jax.lax.psum(deg, op.axis)
     inv_sqrt = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, eps)), 0.0)
-    return op.replace(val=k * inv_sqrt[op.row] * inv_sqrt[op.col])
+    # Node-sharded: deg is complete locally (all incoming edges of a
+    # row live on its device), but the source side needs the gather.
+    return op.replace(
+        val=k * inv_sqrt[op.row] * gather_nodes(op, inv_sqrt)[op.col]
+    )
 
 
 def spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
@@ -159,8 +209,13 @@ def spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     device segment-sums its local edges and the partial node vectors
     are ``psum``-reduced over ICI — the COO analog of a row-sharded
     matvec. x is replicated; memory scales as E/n_devices + N·F.
+
+    With ``op.gather_axis`` set (node-sharded), x is this device's row
+    block, sources are all-gathered, and the destination-bucketed edge
+    layout makes the segment sum complete without any reduction.
     """
-    msg = op.val[:, None] * x[op.col] if x.ndim == 2 else op.val * x[op.col]
+    xg = gather_nodes(op, x)
+    msg = op.val[:, None] * xg[op.col] if x.ndim == 2 else op.val * xg[op.col]
     out = jax.ops.segment_sum(msg, op.row, num_segments=op.n)
     if op.axis is not None:
         out = jax.lax.psum(out, op.axis)
@@ -224,7 +279,7 @@ def attention_spmv(
     per-edge weights ``p [E, ...]`` broadcast against ``x[col] [E, ..., F]``;
     psum-reduced across edge shards like `spmv`."""
     out = jax.ops.segment_sum(
-        p[..., None] * x[op.col], op.row, num_segments=op.n
+        p[..., None] * gather_nodes(op, x)[op.col], op.row, num_segments=op.n
     )
     if op.axis is not None:
         out = jax.lax.psum(out, op.axis)
@@ -238,11 +293,21 @@ def sparse_lanczos_ritz(
     """Ritz pairs of a sparse operator — the dense pipeline's
     `lanczos_ritz`, with the matvec running over COO edges.
 
-    Returns ``(ritz_val [k], ritz_vec [N, k])``.
+    Returns ``(ritz_val [k], ritz_vec [N, k])``. Node-sharded ops run
+    the exact global recursion (inner products psum over the node
+    axis, the start vector is indexed by global node id) and return
+    this device's ``[n_local, k]`` rows of the Ritz vectors;
+    ``ritz_val`` comes out bitwise-replicated.
     """
     mask = jnp.ones((op.n,), jnp.float32)
+    offset = (
+        jax.lax.axis_index(op.gather_axis) * op.n
+        if op.gather_axis is not None
+        else 0
+    )
     alphas, betas, q = lanczos_tridiag_matvec(
-        lambda v: spmv(op, v), mask, k, eps
+        lambda v: spmv(op, v), mask, k, eps,
+        axis=op.gather_axis, index_offset=offset,
     )
     t = tridiag_matrix(alphas, betas)
     vals, u = eigh_dispatch(t)

@@ -92,6 +92,80 @@ def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
     )
 
 
+def node_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
+    """Node-shard a COO operator: contiguous row blocks per device.
+
+    The memory-scaling counterpart of :func:`shard_sparse_op` (which
+    shards *edges* but replicates every ``[N, F]`` node array): nodes
+    are split into ``ndev`` contiguous blocks and each device receives
+    exactly the edges whose DESTINATION row falls in its block
+    (destination bucketing), with ``row`` renumbered block-local and
+    ``col`` kept global. Consequences inside `shard_map`:
+
+    - every ``segment_sum``/``segment_max`` over rows is complete with
+      NO collective — a device owns all incoming edges of its rows;
+    - the one collective per propagation is the source gather
+      (`ops/sparse.py:gather_nodes`, an ``all_gather`` whose transpose
+      is a reduce-scatter), so persistent node state — activations,
+      saved-for-backward layer inputs, per-node optimizer state — is
+      ``N/ndev`` per device and only the gather's output is transient
+      at full ``N``;
+    - per-device edge counts are padded to the max bucket with
+      zero-``val`` (dead) edges, keeping shapes static and identical
+      across devices.
+
+    Works on any pre-normalized operator (sym, row-stochastic, learned
+    views). Returns ``(sharded_op, n_pad)`` where ``n_pad`` (a multiple
+    of the mesh size) is what node arrays must be padded to —
+    :func:`shard_node_array`.
+    """
+    import jax.numpy as jnp
+
+    from lanczosnet_tpu.ops.sparse import SparseOp
+
+    ndev = mesh.shape[axis]
+    row = np.asarray(op.row)
+    col = np.asarray(op.col)
+    val = np.asarray(op.val)
+    n_pad = -(-op.n // ndev) * ndev
+    n_loc = n_pad // ndev
+    dev = row // n_loc
+    counts = np.bincount(dev, minlength=ndev)
+    e_max = max(int(counts.max()), 1)
+    r = np.zeros((ndev, e_max), np.int32)
+    c = np.zeros((ndev, e_max), np.int32)
+    v = np.zeros((ndev, e_max), np.float32)
+    for d in range(ndev):
+        sel = dev == d
+        k = int(sel.sum())
+        r[d, :k] = row[sel] - d * n_loc
+        c[d, :k] = col[sel]
+        v[d, :k] = val[sel]
+    sh = NamedSharding(mesh, P(axis))
+    sharded = SparseOp(
+        row=jax.device_put(jnp.asarray(r.reshape(-1)), sh),
+        col=jax.device_put(jnp.asarray(c.reshape(-1)), sh),
+        val=jax.device_put(jnp.asarray(v.reshape(-1)), sh),
+        n=n_loc,
+        gather_axis=axis,
+    )
+    return sharded, n_pad
+
+
+def shard_node_array(x, mesh: Mesh, n_pad: int, axis: str = DATA_AXIS):
+    """Pad a node-major array's axis 0 to ``n_pad`` (zeros) and shard it
+    into the contiguous blocks `node_shard_sparse_op` assumes."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    pad = n_pad - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
 def shard_full_graph(batch, mesh: Mesh, n_pad: int):
     """Node-axis sharding for a B=1 full-graph batch (citation configs).
 

@@ -58,7 +58,9 @@ from lanczosnet_tpu.ops.sparse import (
 from lanczosnet_tpu.parallel.mesh import (
     DATA_AXIS,
     make_mesh,
+    node_shard_sparse_op,
     replicate_sharding,
+    shard_node_array,
     shard_sparse_op,
 )
 from lanczosnet_tpu.train.checkpoint import Checkpointer
@@ -69,30 +71,46 @@ from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
 
 
 def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
-                         deterministic=True, rng=None):
-    """Run ``model.apply`` inside a shard_map with edge-sharded COO.
+                         extra_specs=None, deterministic=True, rng=None):
+    """Run ``model.apply`` inside a shard_map with a sharded COO op.
 
-    params/x/extras replicated (extras = any trailing positional model
-    inputs, e.g. LanczosNet's Ritz pair or GPNN's partition ids),
-    op.row/col/val sharded P(data); outputs
-    are replicated because every segment reduction inside ops/sparse.py
-    psums over the edge axis. Differentiable from outside — shard_map
-    transposes the psums and sums replicated-input cotangents.
+    Two modes, selected by the op's own axis tags:
+
+    - edge-sharded (``op.axis``): params/x/extras replicated (extras =
+      any trailing positional model inputs, e.g. LanczosNet's Ritz pair
+      or GPNN's partition ids), op.row/col/val sharded P(data); outputs
+      are replicated because every segment reduction inside
+      ops/sparse.py psums over the edge axis.
+    - node-sharded (``op.gather_axis``): x, the logits, and any
+      node-major extras ride P(data) blocks (pass ``extra_specs``);
+      inside, the only collectives are the source all_gathers and the
+      Lanczos/spectral psums.
+
+    Differentiable from outside — shard_map transposes psums and
+    all_gathers (into reduce-scatters) and sums replicated-input
+    cotangents.
     """
+    node_mode = op.gather_axis is not None
     op_specs = SparseOp(
         row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=op.n, axis=op.axis,
+        n=op.n, axis=op.axis, gather_axis=op.gather_axis,
     )
+    node_spec = P(DATA_AXIS) if node_mode else P()
     extras = tuple(extras) if extras is not None else ()
-    extra_specs = tuple(P() for _ in extras)
+    if extra_specs is None:
+        extra_specs = tuple(P() for _ in extras)
     rng_args = (rng,) if rng is not None else ()
     rng_specs = (P(),) if rng is not None else ()
 
     def body(params, lop, x, *rest):
         extra_vals = rest[: len(extras)]
-        rngs = (
-            {"dropout": rest[len(extras)]} if rng is not None else None
-        )
+        rngs = None
+        if rng is not None:
+            key = rest[len(extras)]
+            if node_mode:
+                # each node block must draw an independent dropout mask
+                key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            rngs = {"dropout": key}
         return model.apply(
             {"params": params}, x, lop, *extra_vals,
             deterministic=deterministic, rngs=rngs,
@@ -101,8 +119,8 @@ def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), op_specs, P()) + extra_specs + rng_specs,
-        out_specs=P(),
+        in_specs=(P(), op_specs, node_spec) + tuple(extra_specs) + rng_specs,
+        out_specs=node_spec,
     )(params, op, x, *extras, *rng_args)
 
 
@@ -155,9 +173,33 @@ class SparseCitationRunner:
         }
 
         ndev = int(config.train.get("num_devices", 1))
+        shard_kind = str(config.train.get("shard", "edges"))
         self.mesh = None
+        self.node_sharded = False
         self.init_op = self.op  # unsharded copy for flax init (no psum)
-        if ndev > 1:
+        if ndev > 1 and shard_kind == "nodes":
+            # Node-sharded: activations/optimizer node-state are N/ndev
+            # per device — the memory-scaling mode.
+            self.mesh = make_mesh(ndev)
+            self.node_sharded = True
+            self.op, n_pad = node_shard_sparse_op(self.op, self.mesh)
+            self.n_pad = n_pad
+            # init/partition run unsharded on the zero-padded graph so
+            # shapes line up with the padded node arrays (pad nodes are
+            # isolated; they change nothing)
+            kind = (
+                sparse_row_stochastic_operator
+                if config.model["name"] == "DCNN"
+                else sparse_sym_operator
+            )
+            self.init_op = kind(edges, n_pad)
+            self.x = shard_node_array(self.x, self.mesh, n_pad)
+            self.labels = shard_node_array(self.labels, self.mesh, n_pad)
+            self.splits = {
+                k: shard_node_array(v, self.mesh, n_pad)
+                for k, v in self.splits.items()
+            }
+        elif ndev > 1:
             self.mesh = make_mesh(ndev)
             self.op = shard_sparse_op(self.op, self.mesh)
             rsh = replicate_sharding(self.mesh)
@@ -173,23 +215,29 @@ class SparseCitationRunner:
         c = int(graph["num_class"])
         drop = float(mcfg.get("dropout", 0.5))
         self.extras = None
+        self.extra_specs = None
         if name == "LanczosNet":
             k = int(mcfg.get("num_eig_vec", 20))
             if self.mesh is None:
                 self.extras = sparse_lanczos_ritz(self.op, k)
             else:
-                # the Ritz precompute itself runs edge-sharded: the
-                # Lanczos matvec callback is the sharded spmv
+                # the Ritz precompute itself runs sharded: the Lanczos
+                # matvec callback is the sharded spmv (edge mode), or
+                # the node-block recursion with psum'd inner products
+                # (node mode, ritz_vec comes out node-sharded)
                 op_specs = SparseOp(
                     row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
                     n=self.op.n, axis=self.op.axis,
+                    gather_axis=self.op.gather_axis,
                 )
+                vec_spec = P(DATA_AXIS) if self.node_sharded else P()
                 self.extras = jax.jit(jax.shard_map(
                     lambda lop: sparse_lanczos_ritz(lop, k),
                     mesh=self.mesh,
                     in_specs=(op_specs,),
-                    out_specs=(P(), P()),
+                    out_specs=(P(), vec_spec),
                 ))(self.op)
+                self.extra_specs = (P(), vec_spec)
             self.model = SparseLanczosNet(
                 hidden_dim=hidden,
                 num_class=c,
@@ -255,7 +303,15 @@ class SparseCitationRunner:
                 int(mcfg.get("num_partition", 2)),
                 seed=int(config.seed),
             )
-            self.extras = (jnp.asarray(part, jnp.int32),)
+            if self.node_sharded:
+                self.extras = (
+                    shard_node_array(
+                        jnp.asarray(part, jnp.int32), self.mesh, self.n_pad
+                    ),
+                )
+                self.extra_specs = (P(DATA_AXIS),)
+            else:
+                self.extras = (jnp.asarray(part, jnp.int32),)
             self.model = SparseGPNN(
                 hidden_dim=hidden, num_class=c,
                 num_prop=int(mcfg.get("num_prop", 2)),
@@ -269,7 +325,11 @@ class SparseCitationRunner:
                 f"(GCN | ChebyNet | GAT | DCNN | GraphSAGE | MPNN | GPNN "
                 f"| LanczosNet | AdaLanczosNet), got {name!r}"
             )
-        if self.mesh is not None and self.extras is not None:
+        if (
+            self.mesh is not None
+            and self.extras is not None
+            and self.extra_specs is None
+        ):
             rsh = replicate_sharding(self.mesh)
             self.extras = tuple(
                 jax.device_put(e, rsh) for e in self.extras
@@ -285,7 +345,8 @@ class SparseCitationRunner:
         if self.mesh is not None:
             return sharded_sparse_apply(
                 self.mesh, self.model, params, self.x, self.op,
-                extras=self.extras, deterministic=deterministic,
+                extras=self.extras, extra_specs=self.extra_specs,
+                deterministic=deterministic,
                 rng=None if rngs is None else rngs["dropout"],
             )
         args = (self.x, self.op)
