@@ -39,7 +39,7 @@ from lanczosnet_tpu.train.scan_epoch import (
 from lanczosnet_tpu.train.step import init_state, make_eval_step, make_train_step
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
-from lanczosnet_tpu.utils.profiling import trace
+from lanczosnet_tpu.utils.profiling import program_cost, trace
 
 SPLITS = ("train", "val", "test")
 
@@ -523,6 +523,11 @@ class QM8Runner:
         example, example_valid = next(iter(train_loader.epoch()))
         example = jax.tree.map(lambda x: jax.device_put(x, self.sharding), example)
         state = init_state(self.model, example, tx, seed=int(cfg.seed))
+
+        cost = program_cost(train_step, state, example, example_valid)
+        if cost:
+            self.log.info("train-step program cost: %s", cost)
+            self.metrics.log("program_cost", program="train_step", **cost)
 
         start_epoch = 0
         best_val = float("inf")

@@ -68,6 +68,7 @@ from lanczosnet_tpu.train.optim import build_optimizer
 from lanczosnet_tpu.train.step import TrainState
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
+from lanczosnet_tpu.utils.profiling import program_cost
 
 
 def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
@@ -404,6 +405,11 @@ class SparseCitationRunner:
             return jnp.sum((pred == labels) * mask) / jnp.maximum(
                 jnp.sum(mask), 1.0
             )
+
+        cost = program_cost(train_step, state)
+        if cost:
+            self.log.info("sparse train-step program cost: %s", cost)
+            self.metrics.log("program_cost", program="train_step", **cost)
 
         max_epoch = int(tcfg.get("max_epoch", 200))
         patience = int(tcfg.get("patience", 50))

@@ -11,6 +11,10 @@ log timestamps. Here:
 - :func:`debug_nans` — scoped `jax_debug_nans` enabling, the
   sanitizer analog called out in SURVEY.md §5 (tests use it; in
   production it stays off because it forces synchronous dispatch).
+- :func:`program_cost` — compiler-reported FLOPs / HBM traffic / buffer
+  footprint of a jitted program, surfaced per compiled step into
+  `metrics.jsonl` so throughput regressions are attributable (ROADMAP
+  #7: "no flop/VMEM counters surfaced per program").
 """
 
 from __future__ import annotations
@@ -46,6 +50,44 @@ def debug_nans(enable: bool = True) -> Iterator[None]:
         yield
     finally:
         jax.config.update("jax_debug_nans", prev)
+
+
+def program_cost(fn, *args, **kwargs) -> dict:
+    """XLA's own cost model for one jitted program: flops, bytes
+    accessed (HBM traffic), and the compiled buffer footprint.
+
+    ``fn`` must be a `jax.jit`-wrapped callable; lowering reuses the
+    jit cache (and the persistent compilation cache), so calling this
+    after the first step costs no extra compile. Returns ``{}`` on
+    backends whose PJRT plugin doesn't expose cost analysis — callers
+    log whatever comes back and lose nothing elsewhere.
+    """
+    try:
+        compiled = fn.lower(*args, **kwargs).compile()
+        out: dict = {}
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        if ca:
+            for src, dst in (
+                ("flops", "flops"),
+                ("bytes accessed", "bytes_accessed"),
+            ):
+                if src in ca:
+                    out[dst] = float(ca[src])
+        ma = compiled.memory_analysis()
+        for attr, dst in (
+            ("temp_size_in_bytes", "temp_bytes"),
+            ("argument_size_in_bytes", "argument_bytes"),
+            ("output_size_in_bytes", "output_bytes"),
+            ("generated_code_size_in_bytes", "code_bytes"),
+        ):
+            v = getattr(ma, attr, None)
+            if v is not None:
+                out[dst] = int(v)
+        return out
+    except Exception:  # pragma: no cover - backend-dependent surface
+        return {}
 
 
 class StepTimer:

@@ -47,13 +47,26 @@ def main() -> None:
 
     setup_logging(None, "INFO")
 
-    qm8, citation = [], []
+    import jax
+
+    from lanczosnet_tpu.utils.config import load_config as _load
+
+    qm8, citation, sparse = [], [], []
     for path in sorted((REPO / "configs").glob("*.yaml")):
         if args.only and args.only not in path.stem:
+            continue
+        cfg_probe = _load(path)
+        ndev = int(cfg_probe.train.get("num_devices", 1))
+        if ndev > len(jax.devices()):
+            print(f"skip {path.stem}: needs {ndev} devices "
+                  f"(have {len(jax.devices())})", flush=True)
             continue
         if path.stem.startswith("qm8"):
             res = run_config(path, {"train.max_epoch": args.qm8_epochs})
             qm8.append(res)
+        elif cfg_probe.get("runner") == "SparseCitationRunner":
+            res = run_config(path, {})
+            sparse.append(res)
         else:
             res = run_config(path, {})
             citation.append(res)
@@ -94,6 +107,25 @@ def main() -> None:
             "|---|---|---|---|",
         ]
         for r in citation:
+            lines.append(
+                f"| {r['exp']} | {r['best_val_acc']:.4f} | "
+                f"{r['test_acc']:.4f} | {r['wall_s']} |"
+            )
+        lines.append("")
+    if sparse:
+        lines += [
+            "## Sparse full-graph path (COO segment-sum, "
+            "SparseCitationRunner)",
+            "",
+            "Memory scales with edges instead of N² — the path for graphs",
+            "beyond Pubmed (ROADMAP.md #2). All nine model families have",
+            "sparse members; edge- and node-sharded modes in",
+            "`tests/test_sparse_sharded.py` / `test_sparse_node_sharded.py`.",
+            "",
+            "| config | val acc | test acc | wall s |",
+            "|---|---|---|---|",
+        ]
+        for r in sparse:
             lines.append(
                 f"| {r['exp']} | {r['best_val_acc']:.4f} | "
                 f"{r['test_acc']:.4f} | {r['wall_s']} |"

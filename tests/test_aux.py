@@ -7,7 +7,24 @@ import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.parallel.multihost import initialize, is_primary
-from lanczosnet_tpu.utils.profiling import StepTimer, debug_nans, trace
+from lanczosnet_tpu.utils.profiling import (
+    StepTimer,
+    debug_nans,
+    program_cost,
+    trace,
+)
+
+
+def test_program_cost_reports_flops():
+    @jax.jit
+    def f(a, b):
+        return a @ b
+
+    a = jnp.ones((128, 128), jnp.float32)
+    cost = program_cost(f, a, a)
+    # CPU XLA exposes cost analysis; the 128^3 matmul must dominate
+    assert cost.get("flops", 0) >= 2 * 128**3 * 0.9
+    assert cost.get("output_bytes", 0) == 128 * 128 * 4
 
 
 def test_step_timer():
