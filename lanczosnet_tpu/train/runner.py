@@ -523,11 +523,7 @@ class QM8Runner:
         example, example_valid = next(iter(train_loader.epoch()))
         example = jax.tree.map(lambda x: jax.device_put(x, self.sharding), example)
         state = init_state(self.model, example, tx, seed=int(cfg.seed))
-
-        cost = program_cost(train_step, state, example, example_valid)
-        if cost:
-            self.log.info("train-step program cost: %s", cost)
-            self.metrics.log("program_cost", program="train_step", **cost)
+        cost_logged = False
 
         start_epoch = 0
         best_val = float("inf")
@@ -560,6 +556,17 @@ class QM8Runner:
                     prefetch_to_device(train_loader.epoch(), self.sharding)
                 ):
                     state, loss = train_step(state, batch, valid)
+                    if not cost_logged:
+                        # free once the executable exists (reuses the
+                        # jit cache); before the first call it would
+                        # pay the whole compile again via the AOT path
+                        cost_logged = True
+                        cost = program_cost(train_step, state, batch, valid)
+                        if cost:
+                            self.log.info("train-step program cost: %s", cost)
+                            self.metrics.log(
+                                "program_cost", program="train_step", **cost
+                            )
                     if (it + 1) % display_iter == 0 or it + 1 == steps_per_epoch:
                         lv = float(loss)
                         losses.append(lv)

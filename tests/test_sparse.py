@@ -210,6 +210,41 @@ def test_sparse_citation_runner_end_to_end(tmp_path, name, kw):
     assert 0.0 <= res["test_acc"] <= 1.0
 
 
+def test_sparse_runner_scanned_epochs_match_per_epoch(tmp_path):
+    """`train.valid_epoch: k` folds k epochs into one lax.scan program;
+    with dropout off the trajectory must equal the per-epoch path's."""
+    import pathlib
+
+    def run(tag, valid_epoch):
+        cfg = AttrDict.convert(
+            {
+                "exp_name": f"scan_{tag}",
+                "runner": "SparseCitationRunner",
+                "seed": 0,
+                "save_dir": str(tmp_path / tag),
+                "dataset": {
+                    "source": "synthetic", "name": "cora", "scale": 0.08,
+                },
+                "model": {"name": "GCN", "hidden_dim": [32], "dropout": 0.0},
+                "train": {
+                    "optimizer": "Adam", "lr": 1e-2, "max_epoch": 12,
+                    "patience": 40, "display_iter": 50,
+                    "valid_epoch": valid_epoch,
+                },
+                "test": {},
+            }
+        )
+        pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+        return build_runner(cfg).train()
+
+    per_epoch = run("per_epoch", 1)
+    scanned = run("scanned", 4)
+    # same seed, no dropout → same 12-step trajectory → same test acc
+    # (best-val snapshots differ only in validation granularity)
+    assert abs(per_epoch["test_acc"] - scanned["test_acc"]) < 0.05
+    assert scanned["best_val_acc"] > 1.0 / 7 + 0.05
+
+
 def test_synthetic_edges_generator():
     from lanczosnet_tpu.data.citation import synthetic_citation_edges
 
