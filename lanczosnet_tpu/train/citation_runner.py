@@ -27,6 +27,7 @@ from lanczosnet_tpu.models import build_model
 from lanczosnet_tpu.parallel.mesh import make_mesh, replicate_sharding, shard_full_graph
 from lanczosnet_tpu.train.checkpoint import Checkpointer
 from lanczosnet_tpu.train.node_step import make_node_eval_step, make_node_train_step
+from lanczosnet_tpu.utils.profiling import program_cost
 from lanczosnet_tpu.train.optim import build_optimizer
 from lanczosnet_tpu.train.step import init_state
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
@@ -105,6 +106,16 @@ class CitationRunner:
         t0 = time.perf_counter()
         for epoch in range(max_epoch):
             state, loss = train_step(state, self.batch, self.splits["train"])
+            if epoch == 0:
+                # free once compiled (reuses the jit cache entry)
+                cost = program_cost(
+                    train_step, state, self.batch, self.splits["train"]
+                )
+                if cost:
+                    self.log.info("node train-step program cost: %s", cost)
+                    self.metrics.log(
+                        "program_cost", program="train_step", **cost
+                    )
             c, n, ce = eval_step(state.params, self.batch, self.splits["val"])
             val_acc = float(c) / max(float(n), 1.0)
             if epoch % display == 0:
