@@ -168,8 +168,13 @@ def _pick_stream_block(n: int, k: int) -> int:
 
     Blocks are multiples of 128 so the in-kernel q_j segment reads stay
     lane-aligned; ~N ≤ 8k streams, beyond that callers fall back to the
-    scan (or the sparse COO path, which is the right tool there)."""
+    scan (or the sparse COO path, which is the right tool there).
+    A block never exceeds the 128-aligned N — picking bn=512 for a
+    128-node graph would pad the whole problem 4× for nothing."""
+    n128 = -(-n // 128) * 128
     for bn in (512, 256, 128):
+        if bn > n128:
+            continue
         n_pad = -(-n // bn) * bn
         if _stream_bytes(bn, n_pad, k) <= _STREAM_VMEM_BUDGET:
             return bn
@@ -182,7 +187,10 @@ def _lanczos_stream_kernel(s_ref, q0_ref, alpha_ref, beta_ref, q_ref,
     """One (graph, step, row-block) program.
 
     s_ref [1,bn,N]: this row block of the symmetric operator.
-    q0_ref [1,N]: start vector. Outputs per graph (resident across the
+    q0_ref [1,1,N]: start vector (the singleton sublane axis keeps the
+    block legal for batch > 1 — a [1,N] block over a [B,N] array has a
+    sublane dim of 1, which Mosaic only allows when B == 1). Outputs
+    per graph (resident across the
     (K, NB) inner grid): alpha/beta [1,K,128] (scalar broadcast across
     lanes — lane-dynamic stores are unsupported, sublane-dynamic are),
     q/w4 [1,K,N], p1/p2 [1,K,K]. Scratch: wacc [1,N] matvec
@@ -197,7 +205,7 @@ def _lanczos_stream_kernel(s_ref, q0_ref, alpha_ref, beta_ref, q_ref,
     @pl.when((j == 0) & (nbi == 0))
     def _init():
         q_ref[0] = jnp.zeros_like(q_ref[0])
-        q_ref[0, 0, :] = q0_ref[0]
+        q_ref[0, 0, :] = q0_ref[0, 0]
         bprev_ref[0, 0] = 0.0
 
     @pl.when(nbi == 0)
@@ -262,7 +270,7 @@ def _lanczos_stream_call(s, mask, k, eps, bn, interpret):
         in_specs=[
             pl.BlockSpec((1, bn, n_pad), lambda bi, ki, ni: (bi, ni, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad), lambda bi, ki, ni: (bi, 0),
+            pl.BlockSpec((1, 1, n_pad), lambda bi, ki, ni: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -295,7 +303,7 @@ def _lanczos_stream_call(s, mask, k, eps, bn, interpret):
         interpret=interpret,
     )(
         s.astype(jnp.float32),
-        lanczos_start_vector(mask.astype(jnp.float32), eps),
+        lanczos_start_vector(mask.astype(jnp.float32), eps)[:, None, :],
     )
     return (
         alphas[:, :, 0],

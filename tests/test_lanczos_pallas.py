@@ -144,6 +144,10 @@ def test_stream_block_rules():
     assert _stream_bytes(bn, n_pad, 20) <= _STREAM_VMEM_BUDGET
     # far beyond VMEM even at the smallest block: infeasible
     assert _pick_stream_block(200_000, 20) == 0
+    # a block never exceeds the 128-aligned N: a 128-node graph must
+    # stream in one 128-row block, not a 4x zero-padded 512 one
+    assert _pick_stream_block(128, 20) == 128
+    assert _pick_stream_block(130, 20) == 256
 
 
 def test_stream_kernel_matches_scan_residuals():
