@@ -336,3 +336,264 @@ class TorchAdaLanczosNet(nn.Module):
         pred = self.readout(h, mask)
         inter["pred"] = pred
         return pred, inter
+
+
+class TorchGAT(nn.Module):
+    """Eager-torch GAT: per-edge-type additive attention with the
+    neighborhood (plus self-loop) masked softmax — the reference
+    `model/gat.py` semantics (SURVEY.md §2.5), stated with explicit
+    [B,H,N,N] score tensors and eager softmax."""
+
+    def __init__(
+        self,
+        num_atom: int,
+        embed_dim: int,
+        hidden_dim: Sequence[int],
+        num_task: int,
+        num_heads: int = 4,
+        num_ops: int = 3,
+        node_feat_dim: int = 0,
+        output_hidden_dim: Sequence[int] = (),
+        leaky_slope: float = 0.2,
+    ):
+        super().__init__()
+        self.num_heads = num_heads
+        self.leaky = leaky_slope
+        self.atom_embed = nn.Embedding(num_atom, embed_dim)
+        f_in = embed_dim + node_feat_dim
+        self.layers = nn.ModuleList()
+        for dim in hidden_dim:
+            per_head = max(dim // num_heads, 1)
+            layer = nn.ModuleDict()
+            for e in range(num_ops):
+                layer[f"w_{e}"] = nn.Linear(f_in, num_heads * per_head, bias=False)
+                layer[f"a_src_{e}"] = nn.Linear(f_in, num_heads, bias=False)
+                layer[f"a_dst_{e}"] = nn.Linear(f_in, num_heads, bias=False)
+            layer.per_head = per_head
+            self.layers.append(layer)
+            f_in = num_heads * per_head
+        self.readout = AttentionReadoutT(f_in, num_task, output_hidden_dim)
+
+    def forward(self, batch: dict) -> Tuple[Tensor, Dict[str, Tensor]]:
+        inter: Dict[str, Tensor] = {}
+        mask = batch["mask"]
+        ops = batch["ops"]
+        b, n = mask.shape
+        eye = torch.eye(n)
+        h = self.atom_embed(batch["atom_type"])
+        if batch.get("node_feat") is not None and batch["node_feat"].shape[-1] > 0:
+            h = torch.cat([h, batch["node_feat"]], dim=-1)
+        h = h * mask.unsqueeze(-1)
+        inter["encoder"] = h
+        for li, layer in enumerate(self.layers):
+            outs = None
+            for e in range(ops.shape[1]):
+                z = layer[f"w_{e}"](h).reshape(b, n, self.num_heads, -1)
+                a_src = layer[f"a_src_{e}"](h)  # [B, N, H]
+                a_dst = layer[f"a_dst_{e}"](h)
+                scores = a_src.permute(0, 2, 1).unsqueeze(3) + a_dst.permute(
+                    0, 2, 1
+                ).unsqueeze(2)  # [B,H,i,j]
+                scores = torch.nn.functional.leaky_relu(scores, self.leaky)
+                support = ((ops[:, e] > 0) | (eye > 0)).float()
+                support = support * mask.unsqueeze(-1) * mask.unsqueeze(-2)
+                sup = support.unsqueeze(1)  # [B,1,N,N]
+                masked = torch.where(
+                    sup > 0, scores, torch.full_like(scores, -1e30)
+                )
+                m = masked.max(dim=-1, keepdim=True).values
+                unnorm = torch.exp(masked - m) * (sup > 0)
+                att = unnorm / unnorm.sum(dim=-1, keepdim=True).clamp_min(1e-12)
+                agg = torch.einsum("bhij,bjhf->bihf", att, z)
+                outs = agg if outs is None else outs + agg
+            h = outs.reshape(b, n, -1)
+            inter[f"layer_{li}"] = h
+            h = torch.nn.functional.elu(h) * mask.unsqueeze(-1)
+        pred = self.readout(h, mask)
+        inter["pred"] = pred
+        return pred, inter
+
+
+class TorchMPNN(nn.Module):
+    """Eager-torch MPNN: per-edge-type linear messages aggregated by the
+    normalized operators + a fused-gate GRU shared across propagation
+    steps — the reference `model/mpnn.py` semantics (SURVEY.md §2.5)
+    as an eager Python step loop."""
+
+    def __init__(
+        self,
+        num_atom: int,
+        state_dim: int,
+        num_task: int,
+        num_prop: int = 3,
+        num_ops: int = 3,
+        node_feat_dim: int = 0,
+        output_hidden_dim: Sequence[int] = (),
+    ):
+        super().__init__()
+        self.num_prop = num_prop
+        self.atom_embed = nn.Embedding(num_atom, state_dim)
+        self.in_proj = (
+            nn.Linear(state_dim + node_feat_dim, state_dim)
+            if node_feat_dim > 0
+            else None
+        )
+        self.w_msg = nn.Parameter(torch.zeros(state_dim, num_ops * state_dim))
+        self.w_in = nn.Parameter(torch.zeros(state_dim, 3 * state_dim))
+        self.w_st = nn.Parameter(torch.zeros(state_dim, 3 * state_dim))
+        self.b_gru = nn.Parameter(torch.zeros(3 * state_dim))
+        self.readout = AttentionReadoutT(state_dim, num_task, output_hidden_dim)
+
+    def forward(self, batch: dict) -> Tuple[Tensor, Dict[str, Tensor]]:
+        inter: Dict[str, Tensor] = {}
+        mask = batch["mask"]
+        ops = batch["ops"]
+        b, n = mask.shape
+        num_e = ops.shape[1]
+        h = self.atom_embed(batch["atom_type"])
+        if batch.get("node_feat") is not None and batch["node_feat"].shape[-1] > 0:
+            h = torch.cat([h, batch["node_feat"]], dim=-1)
+        h = h * mask.unsqueeze(-1)
+        if self.in_proj is not None:
+            h = self.in_proj(h)
+        inter["encoder"] = h
+        dim = h.shape[-1]
+        for step in range(self.num_prop):
+            z = (h @ self.w_msg).reshape(b, n, num_e, dim).permute(0, 2, 1, 3)
+            m = torch.einsum("beij,bejf->bif", ops, z)
+            gates_in = m @ self.w_in + self.b_gru
+            gates_st = h @ self.w_st
+            zi, ri, ci = gates_in.chunk(3, dim=-1)
+            zs, rs, cs = gates_st.chunk(3, dim=-1)
+            update = torch.sigmoid(zi + zs)
+            reset = torch.sigmoid(ri + rs)
+            cand = torch.tanh(ci + reset * cs)
+            h = ((1.0 - update) * h + update * cand) * mask.unsqueeze(-1)
+            inter[f"prop_{step}"] = h
+        pred = self.readout(h, mask)
+        inter["pred"] = pred
+        return pred, inter
+
+
+class TorchGPNN(nn.Module):
+    """Eager-torch GPNN in the *reference's* subgraph form: per graph,
+    each intra step gathers every cluster's node set and propagates a
+    dense subgraph operator over it; each cut step gathers the boundary
+    node set and propagates only the partition-crossing edges. This is
+    deliberately the scatter/gather formulation (`[R] model/gpnn.py` +
+    `utils/spectral_graph_partition.py`), so agreement with the flax
+    masked-dense schedule proves the two formulations compute the same
+    function — the round-1 fidelity question."""
+
+    def __init__(
+        self,
+        num_atom: int,
+        embed_dim: int,
+        hidden_dim: Sequence[int],
+        num_task: int,
+        num_prop: int = 2,
+        num_intra_prop: int = 1,
+        num_cut_prop: int = 1,
+        num_ops: int = 3,
+        node_feat_dim: int = 0,
+        output_hidden_dim: Sequence[int] = (),
+    ):
+        super().__init__()
+        self.schedule = (num_prop, num_intra_prop, num_cut_prop)
+        self.atom_embed = nn.Embedding(num_atom, embed_dim)
+        f_in = embed_dim + node_feat_dim
+        self.intra = nn.ModuleDict()
+        self.cut = nn.ModuleDict()
+        self.carry = nn.ModuleDict()
+        for li, dim in enumerate(hidden_dim):
+            width = f_in
+            for p in range(num_prop):
+                for i in range(num_intra_prop):
+                    self.intra[f"{li}_{p}_{i}"] = nn.Linear(
+                        width * (1 + num_ops), dim
+                    )
+                    width = dim
+                for c in range(num_cut_prop):
+                    self.cut[f"{li}_{p}_{c}"] = nn.Linear(
+                        width * (1 + num_ops), dim
+                    )
+                    if width != dim:
+                        self.carry[f"{li}_{p}_{c}"] = nn.Linear(width, dim)
+                    width = dim
+            f_in = dim
+        self.hidden_dim = tuple(hidden_dim)
+        self.readout = AttentionReadoutT(f_in, num_task, output_hidden_dim)
+
+    @staticmethod
+    def _sub_step(lin: nn.Linear, ops_sub: Tensor, h_sub: Tensor) -> Tensor:
+        """One propagation on a gathered subgraph: per-edge-type
+        messages concat self state, linear, relu. ops_sub [E,m,m],
+        h_sub [m,F]."""
+        msgs = [ops_sub[e] @ h_sub for e in range(ops_sub.shape[0])]
+        z = torch.cat([h_sub] + msgs, dim=-1)
+        return torch.relu(lin(z))
+
+    def forward(self, batch: dict) -> Tuple[Tensor, Dict[str, Tensor]]:
+        inter: Dict[str, Tensor] = {}
+        mask = batch["mask"]
+        ops = batch["ops"]
+        cluster = batch["cluster"].long()
+        b, n = mask.shape
+        num_prop, n_intra, n_cut = self.schedule
+        h = self.atom_embed(batch["atom_type"])
+        if batch.get("node_feat") is not None and batch["node_feat"].shape[-1] > 0:
+            h = torch.cat([h, batch["node_feat"]], dim=-1)
+        h = h * mask.unsqueeze(-1)
+        inter["encoder"] = h
+
+        outs = []
+        for g in range(b):  # eager per-graph subgraph schedule
+            hg = h[g].clone()
+            mg = mask[g] > 0
+            cg = cluster[g]
+            same = (cg[:, None] == cg[None, :]) & mg[:, None] & mg[None, :]
+            cross = (~(cg[:, None] == cg[None, :])) & mg[:, None] & mg[None, :]
+            intra_ops = ops[g] * same.float()
+            cut_ops = ops[g] * cross.float()
+            boundary = (cut_ops[0] != 0.0).sum(-1) > 0
+            boundary = boundary & mg
+            idx_b = torch.nonzero(boundary).flatten()
+            clusters = [
+                torch.nonzero((cg == c) & mg).flatten()
+                for c in cg[mg].unique()
+            ]
+            for li, dim in enumerate(self.hidden_dim):
+                for p in range(num_prop):
+                    for i in range(n_intra):
+                        new = torch.zeros(n, dim)
+                        for idx in clusters:
+                            sub = intra_ops[:, idx][:, :, idx]
+                            new[idx] = self._sub_step(
+                                self.intra[f"{li}_{p}_{i}"], sub, hg[idx]
+                            )
+                        hg = new
+                    for c in range(n_cut):
+                        # the cut update consumes the PRE-carry state
+                        # (flax feeds Dense_cut before the carry
+                        # projection); the carry only re-widths the
+                        # pass-through nodes
+                        pre = hg
+                        if f"{li}_{p}_{c}" in self.carry:
+                            hg = torch.where(
+                                mg[:, None],
+                                self.carry[f"{li}_{p}_{c}"](pre),
+                                torch.zeros(1),
+                            )
+                        else:
+                            hg = pre.clone()
+                        if idx_b.numel():
+                            sub = cut_ops[:, idx_b][:, :, idx_b]
+                            hg[idx_b] = self._sub_step(
+                                self.cut[f"{li}_{p}_{c}"], sub, pre[idx_b]
+                            )
+            outs.append(hg)
+        h = torch.stack(outs) * mask.unsqueeze(-1)
+        inter["final_nodes"] = h
+        pred = self.readout(h, mask)
+        inter["pred"] = pred
+        return pred, inter

@@ -57,3 +57,60 @@ def load_ada_lanczos_net(tmodel, params: dict, num_layers: int, long_dists) -> N
     """Copy flax AdaLanczosNet params into a TorchAdaLanczosNet."""
     load_lanczos_net(tmodel, params, num_layers, long_dists)
     _linear(tmodel.kernel_embed, params["kernel_embed"])
+
+
+def load_gat(tmodel, params: dict, num_layers: int, num_ops: int) -> None:
+    """Copy flax GAT params into a TorchGAT (no-bias Linears: kernel
+    only, transposed)."""
+    tmodel.atom_embed.weight.data = torch.from_numpy(
+        np.asarray(params["NodeEncoder_0"]["atom_embed"]["embedding"]).copy()
+    )
+    for li in range(num_layers):
+        lp = params[f"layer_{li}"]
+        layer = tmodel.layers[li]
+        for e in range(num_ops):
+            for name in (f"w_{e}", f"a_src_{e}", f"a_dst_{e}"):
+                layer[name].weight.data = torch.from_numpy(
+                    np.asarray(lp[name]["kernel"]).T.copy()
+                )
+    _readout(tmodel.readout, params["AttentionReadout_0"])
+
+
+def load_mpnn(tmodel, params: dict) -> None:
+    """Copy flax MPNN params into a TorchMPNN (raw param matrices share
+    the [in, out] layout — no transpose)."""
+    tmodel.atom_embed.weight.data = torch.from_numpy(
+        np.asarray(params["NodeEncoder_0"]["atom_embed"]["embedding"]).copy()
+    )
+    if tmodel.in_proj is not None:
+        _linear(tmodel.in_proj, params["in_proj"])
+    for tname, fname in (
+        ("w_msg", "w_msg"),
+        ("w_in", "gru_w_in"),
+        ("w_st", "gru_w_st"),
+        ("b_gru", "gru_b"),
+    ):
+        getattr(tmodel, tname).data = torch.from_numpy(
+            np.asarray(params[fname]).copy()
+        )
+    _readout(tmodel.readout, params["AttentionReadout_0"])
+
+
+def load_gpnn(tmodel, params: dict, num_layers: int, schedule) -> None:
+    """Copy flax GPNN params into a TorchGPNN (subgraph-form twin)."""
+    num_prop, n_intra, n_cut = schedule
+    tmodel.atom_embed.weight.data = torch.from_numpy(
+        np.asarray(params["NodeEncoder_0"]["atom_embed"]["embedding"]).copy()
+    )
+    for li in range(num_layers):
+        for p in range(num_prop):
+            for i in range(n_intra):
+                _linear(tmodel.intra[f"{li}_{p}_{i}"],
+                        params[f"intra_{li}_{p}_{i}"])
+            for c in range(n_cut):
+                _linear(tmodel.cut[f"{li}_{p}_{c}"],
+                        params[f"cut_{li}_{p}_{c}"])
+                if f"carry_{li}_{p}_{c}" in params:
+                    _linear(tmodel.carry[f"{li}_{p}_{c}"],
+                            params[f"carry_{li}_{p}_{c}"])
+    _readout(tmodel.readout, params["AttentionReadout_0"])

@@ -89,6 +89,8 @@ def _to_torch_batch(batch):
     if batch.ritz_val is not None:
         d["ritz_val"] = _t(batch.ritz_val)
         d["ritz_vec"] = _t(batch.ritz_vec)
+    if batch.cluster is not None:
+        d["cluster"] = _t(batch.cluster)
     return d
 
 
@@ -270,3 +272,109 @@ def test_sym_normalize_parity():
     j = np.asarray(sym_normalize(jnp.asarray(adj * (mask[:, :, None] * mask[:, None, :])), jnp.asarray(mask)))
     t = sym_normalize_t(torch.from_numpy(adj), torch.from_numpy(mask)).numpy()
     np.testing.assert_allclose(j, t, atol=1e-6)
+
+
+def test_gat_activation_parity():
+    """Flax GAT (dense masked multi-head attention) == torch twin: the
+    masked neighborhood softmax incl. self-loops is the distinctive
+    math not covered by the LanczosNet twins."""
+    from lanczosnet_tpu.models.gat import GAT
+    from parity.torch_twin import TorchGAT
+    from parity.transfer import load_gat
+
+    rng = np.random.default_rng(11)
+    batch = make_batch(rng, num=3, n_max=12)
+    fc = batch.node_feat.shape[-1]
+    model = GAT(
+        num_atom=8, embed_dim=10, hidden_dim=(16, 12), num_task=NUM_TASK,
+        num_heads=4, output_hidden_dim=OUT_HIDDEN,
+    )
+    params = model.init(jax.random.PRNGKey(2), batch, deterministic=True)[
+        "params"
+    ]
+    tmodel = TorchGAT(
+        num_atom=8, embed_dim=10, hidden_dim=(16, 12), num_task=NUM_TASK,
+        num_heads=4, num_ops=NUM_EDGE + 1, node_feat_dim=fc,
+        output_hidden_dim=OUT_HIDDEN,
+    )
+    load_gat(tmodel, params, 2, NUM_EDGE + 1)
+
+    fpred, inter = _flax_intermediates(model, params, batch)
+    with torch.no_grad():
+        tpred, tinter = tmodel(_to_torch_batch(batch))
+    _cmp("encoder", tinter["encoder"], inter["NodeEncoder_0"]["__call__"][0], 1e-5)
+    for li in range(2):
+        _cmp(
+            f"layer_{li}",
+            tinter[f"layer_{li}"],
+            inter[f"layer_{li}"]["__call__"][0],
+            1e-4,
+        )
+    _cmp("pred", tpred, fpred, 1e-4)
+
+
+def test_mpnn_activation_parity():
+    """Flax MPNN (lax.scan of fused-gate GRU propagation) == torch twin
+    (eager Python step loop): same messages, gates, and masked update —
+    end-to-end pred equality is sensitive to every step."""
+    from lanczosnet_tpu.models.mpnn import MPNN
+    from parity.torch_twin import TorchMPNN
+    from parity.transfer import load_mpnn
+
+    rng = np.random.default_rng(12)
+    batch = make_batch(rng, num=3, n_max=12)
+    fc = batch.node_feat.shape[-1]
+    model = MPNN(
+        num_atom=8, hidden_dim=(16,), num_task=NUM_TASK, num_prop=3,
+        output_hidden_dim=OUT_HIDDEN,
+    )
+    params = model.init(jax.random.PRNGKey(3), batch, deterministic=True)[
+        "params"
+    ]
+    tmodel = TorchMPNN(
+        num_atom=8, state_dim=16, num_task=NUM_TASK, num_prop=3,
+        num_ops=NUM_EDGE + 1, node_feat_dim=fc,
+        output_hidden_dim=OUT_HIDDEN,
+    )
+    load_mpnn(tmodel, params)
+
+    fpred, inter = _flax_intermediates(model, params, batch)
+    with torch.no_grad():
+        tpred, tinter = tmodel(_to_torch_batch(batch))
+    _cmp("pred", tpred, fpred, 1e-4)
+
+
+def test_gpnn_subgraph_schedule_parity():
+    """Flax GPNN (masked-dense schedule) == torch twin in the
+    REFERENCE's explicit subgraph form (per-cluster gather/propagate/
+    scatter, cut graph over the boundary node set): the two
+    formulations must compute the same function — direct evidence for
+    the round-1 schedule-fidelity question."""
+    from lanczosnet_tpu.models.gpnn import GPNN
+    from parity.torch_twin import TorchGPNN
+    from parity.transfer import load_gpnn
+
+    rng = np.random.default_rng(13)
+    batch = make_batch(rng, num=3, n_max=12, with_cluster=True)
+    fc = batch.node_feat.shape[-1]
+    schedule = (2, 1, 1)
+    model = GPNN(
+        num_atom=8, embed_dim=10, hidden_dim=(14, 12), num_task=NUM_TASK,
+        num_prop=schedule[0], num_intra_prop=schedule[1],
+        num_cut_prop=schedule[2], output_hidden_dim=OUT_HIDDEN,
+    )
+    params = model.init(jax.random.PRNGKey(4), batch, deterministic=True)[
+        "params"
+    ]
+    tmodel = TorchGPNN(
+        num_atom=8, embed_dim=10, hidden_dim=(14, 12), num_task=NUM_TASK,
+        num_prop=schedule[0], num_intra_prop=schedule[1],
+        num_cut_prop=schedule[2], num_ops=NUM_EDGE + 1, node_feat_dim=fc,
+        output_hidden_dim=OUT_HIDDEN,
+    )
+    load_gpnn(tmodel, params, 2, schedule)
+
+    fpred, inter = _flax_intermediates(model, params, batch)
+    with torch.no_grad():
+        tpred, tinter = tmodel(_to_torch_batch(batch))
+    _cmp("pred", tpred, fpred, 1e-4)
