@@ -34,7 +34,7 @@ distributed with psum/pmax-completed reductions.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -61,17 +61,24 @@ class SparseGCN(nn.Module):
     hidden_dim: Sequence[int]
     num_class: int
     dropout: float = 0.5
+    # compute dtype: params stay f32, activations/gathers/scatters run
+    # here; the spectral core stays f32 regardless. bf16 halves the E·F
+    # memory traffic in principle, but measured on the v5e it is ~9×
+    # SLOWER end-to-end — XLA's bf16 scatter-add lowering on TPU is
+    # element-serialized — so the default stays f32; the knob exists
+    # for backends whose scatter handles 16-bit natively.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = x
+        h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
             h = jnp.concatenate([h, spmv(op, h)], axis=-1)
-            h = nn.relu(nn.Dense(dim, name=f"layer_{li}")(h))
+            h = nn.relu(nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(h))
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseChebyNet(nn.Module):
@@ -87,25 +94,27 @@ class SparseChebyNet(nn.Module):
     num_class: int
     poly_order: int = 3
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = x
+        h = x.astype(self.dtype)
+        two = jnp.asarray(2.0, self.dtype)
         for li, dim in enumerate(self.hidden_dim):
             feats = [h]
             if self.poly_order >= 1:
                 feats.append(spmv(op, h))
             for _ in range(self.poly_order - 1):
-                feats.append(2.0 * spmv(op, feats[-1]) - feats[-2])
+                feats.append(two * spmv(op, feats[-1]) - feats[-2])
             h = nn.relu(
-                nn.Dense(dim, name=f"layer_{li}")(
+                nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
                     jnp.concatenate(feats, axis=-1)
                 )
             )
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseGAT(nn.Module):
@@ -123,25 +132,27 @@ class SparseGAT(nn.Module):
     num_head: int = 4
     negative_slope: float = 0.2
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = x
+        h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
             head_dim = -(-dim // self.num_head)
             hp = nn.Dense(
-                self.num_head * head_dim, use_bias=False, name=f"proj_{li}"
+                self.num_head * head_dim, use_bias=False,
+                dtype=self.dtype, name=f"proj_{li}"
             )(h).reshape(h.shape[0], self.num_head, head_dim)  # [N, H, D]
             a_src = self.param(
                 f"att_src_{li}", nn.initializers.glorot_uniform(),
                 (self.num_head, head_dim),
-            )
+            ).astype(self.dtype)
             a_dst = self.param(
                 f"att_dst_{li}", nn.initializers.glorot_uniform(),
                 (self.num_head, head_dim),
-            )
+            ).astype(self.dtype)
             s_src = jnp.sum(hp * a_src[None], axis=-1)  # [N, H]
             s_dst = jnp.sum(hp * a_dst[None], axis=-1)  # [N, H]
             # edge (i <- j): destination=row (segment), source=col
@@ -155,10 +166,12 @@ class SparseGAT(nn.Module):
             p, denom, p_self = segment_softmax_coo(logits, op, self_logits)
             msg = attention_spmv(op, p, hp)  # [N, H, D]
             msg = msg + p_self[..., None] * hp  # implicit self-edge
-            h = (msg / denom[..., None]).reshape(h.shape[0], -1)
+            h = (msg / denom[..., None].astype(self.dtype)).reshape(
+                h.shape[0], -1
+            )
             h = nn.elu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseDCNN(nn.Module):
@@ -174,19 +187,20 @@ class SparseDCNN(nn.Module):
     num_class: int
     max_hop: int = 3
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = x
+        h = x.astype(self.dtype)
         hops = tuple(range(1, self.max_hop + 1))
         for li, dim in enumerate(self.hidden_dim):
             feats = sparse_diffusion_features(op, h, hops)  # [H, N, F]
             h = jnp.concatenate([h, *feats], axis=-1)
-            h = nn.relu(nn.Dense(dim, name=f"layer_{li}")(h))
+            h = nn.relu(nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(h))
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseGraphSAGE(nn.Module):
@@ -200,21 +214,29 @@ class SparseGraphSAGE(nn.Module):
     hidden_dim: Sequence[int]
     num_class: int
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = x
+        h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
             h = jnp.concatenate([h, mean_spmv(op, h)], axis=-1)
-            h = nn.relu(nn.Dense(dim, name=f"layer_{li}")(h))
+            h = nn.relu(nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(h))
+            # L2-normalize in f32: bf16 sums of squares lose half the
+            # mantissa exactly where the norm needs it
             norm = jnp.sqrt(
-                jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True), 1e-12)
+                jnp.maximum(
+                    jnp.sum(
+                        h.astype(jnp.float32) ** 2, axis=-1, keepdims=True
+                    ),
+                    1e-12,
+                )
             )
-            h = h / norm
+            h = h / norm.astype(self.dtype)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseMPNN(nn.Module):
@@ -231,19 +253,24 @@ class SparseMPNN(nn.Module):
     num_class: int
     num_prop: int = 3
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
         dim = int(self.hidden_dim[0])
-        h = nn.Dense(dim, name="in_proj")(x)
+        h = nn.Dense(dim, dtype=self.dtype, name="in_proj")(
+            x.astype(self.dtype)
+        )
 
         glorot = nn.initializers.glorot_uniform()
-        w_msg = self.param("w_msg", glorot, (dim, dim))
-        w_in = self.param("gru_w_in", glorot, (dim, 3 * dim))
-        w_st = self.param("gru_w_st", glorot, (dim, 3 * dim))
-        b_gru = self.param("gru_b", nn.initializers.zeros, (3 * dim,))
+        w_msg = self.param("w_msg", glorot, (dim, dim)).astype(self.dtype)
+        w_in = self.param("gru_w_in", glorot, (dim, 3 * dim)).astype(self.dtype)
+        w_st = self.param("gru_w_st", glorot, (dim, 3 * dim)).astype(self.dtype)
+        b_gru = self.param(
+            "gru_b", nn.initializers.zeros, (3 * dim,)
+        ).astype(self.dtype)
 
         def step(state, _):
             m = spmv(op, state @ w_msg)
@@ -258,7 +285,7 @@ class SparseMPNN(nn.Module):
 
         h, _ = jax.lax.scan(step, h, None, length=self.num_prop)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseGPNN(nn.Module):
@@ -282,6 +309,7 @@ class SparseGPNN(nn.Module):
     num_intra_prop: int = 1
     num_cut_prop: int = 1
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -294,22 +322,33 @@ class SparseGPNN(nn.Module):
         same = part[op.row] == gather_nodes(op, part)[op.col]
         intra_op = masked_val_op(op, same)
         cut_op = masked_val_op(op, ~same)
-        boundary = (live_degree(cut_op) > 0).astype(x.dtype)[:, None]  # [N,1]
+        boundary = (live_degree(cut_op) > 0).astype(self.dtype)[:, None]
 
-        h = x
+        h = x.astype(self.dtype)
+        one = jnp.asarray(1.0, self.dtype)
         for li, dim in enumerate(self.hidden_dim):
             for p in range(self.num_prop):
                 for i in range(self.num_intra_prop):
                     z = jnp.concatenate([h, spmv(intra_op, h)], axis=-1)
-                    h = nn.relu(nn.Dense(dim, name=f"intra_{li}_{p}_{i}")(z))
+                    h = nn.relu(
+                        nn.Dense(
+                            dim, dtype=self.dtype, name=f"intra_{li}_{p}_{i}"
+                        )(z)
+                    )
                 for c in range(self.num_cut_prop):
                     z = jnp.concatenate([h, spmv(cut_op, h)], axis=-1)
-                    upd = nn.relu(nn.Dense(dim, name=f"cut_{li}_{p}_{c}")(z))
+                    upd = nn.relu(
+                        nn.Dense(
+                            dim, dtype=self.dtype, name=f"cut_{li}_{p}_{c}"
+                        )(z)
+                    )
                     if h.shape[-1] != dim:
-                        h = nn.Dense(dim, name=f"carry_{li}_{p}_{c}")(h)
-                    h = boundary * upd + (1.0 - boundary) * h
+                        h = nn.Dense(
+                            dim, dtype=self.dtype, name=f"carry_{li}_{p}_{c}"
+                        )(h)
+                    h = boundary * upd + (one - boundary) * h
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseAdaLanczosNet(nn.Module):
@@ -333,6 +372,7 @@ class SparseAdaLanczosNet(nn.Module):
     num_eig_vec: int = 20
     filter_hidden_dim: int = 16
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -343,9 +383,11 @@ class SparseAdaLanczosNet(nn.Module):
         d2 = jnp.sum((emb[op.row] - embg[op.col]) ** 2, axis=-1)  # [E]
         kernel = jnp.exp(-d2 / jnp.sqrt(float(self.kernel_dim)))
         lop = sym_normalize_coo(op, kernel)
+        # the Lanczos recursion and its Ritz pairs stay f32 regardless
+        # of the compute dtype — orthogonality dies in bf16
         ritz_val, ritz_vec = sparse_lanczos_ritz(lop, self.num_eig_vec)
 
-        h = x
+        h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
             parts = [h]
             if self.short_diffusion_dist:
@@ -358,15 +400,15 @@ class SparseAdaLanczosNet(nn.Module):
                 feat = jnp.stack([ritz_val, ritz_val**t], axis=-1)  # [K, 2]
                 f = MLP((self.filter_hidden_dim, 1),
                         name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
-                vtx = spectral_project(lop, ritz_vec, h)  # [K, F]
-                parts.append(ritz_vec @ (f[:, None] * vtx))
+                vtx = spectral_project(lop, ritz_vec, h)  # [K, F] f32
+                parts.append((ritz_vec @ (f[:, None] * vtx)).astype(h.dtype))
             h = nn.relu(
-                nn.Dense(dim, name=f"layer_{li}")(
+                nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
                     jnp.concatenate(parts, axis=-1)
                 )
             )
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseLanczosNet(nn.Module):
@@ -376,6 +418,7 @@ class SparseLanczosNet(nn.Module):
     long_diffusion_dist: Sequence[int] = (5, 10)
     filter_hidden_dim: int = 16
     dropout: float = 0.5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -386,7 +429,7 @@ class SparseLanczosNet(nn.Module):
         ritz_vec: jnp.ndarray,  # [N, K]
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        h = x
+        h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
             parts = [h]
             if self.short_diffusion_dist:
@@ -398,12 +441,14 @@ class SparseLanczosNet(nn.Module):
                 feat = jnp.stack([ritz_val, ritz_val**t], axis=-1)  # [K, 2]
                 f = MLP((self.filter_hidden_dim, 1),
                         name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
-                vtx = spectral_project(op, ritz_vec, h)  # [K, F]
-                parts.append(ritz_vec @ (f[:, None] * vtx))
+                # Ritz pairs are precomputed f32; the projection runs
+                # f32 and only the reconstruction rejoins compute dtype
+                vtx = spectral_project(op, ritz_vec, h)  # [K, F] f32
+                parts.append((ritz_vec @ (f[:, None] * vtx)).astype(h.dtype))
             h = nn.relu(
-                nn.Dense(dim, name=f"layer_{li}")(
+                nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
                     jnp.concatenate(parts, axis=-1)
                 )
             )
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_class, name="head")(h)
+        return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)

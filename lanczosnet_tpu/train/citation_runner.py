@@ -102,11 +102,27 @@ class CitationRunner:
         max_epoch = int(tcfg.get("max_epoch", 200))
         patience = int(tcfg.get("patience", 50))
         display = int(tcfg.get("display_iter", 20))
+        snapshot_every = int(tcfg.get("snapshot_epoch", 50))
+        start_epoch = 0
         best_val, best_epoch = -1.0, -1
+        if tcfg.get("is_resume") and self.ckpt.exists("latest"):
+            state = self.ckpt.restore("latest", state)
+            meta = self.ckpt.meta("latest") or {}
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_meta = self.ckpt.meta("best") or {}
+            best_val = float(best_meta.get("val_acc", -1.0))
+            best_epoch = int(best_meta.get("epoch", -1))
+            self.log.info(
+                "resumed from epoch %d (best val so far %.4f)",
+                start_epoch, best_val,
+            )
+        elif tcfg.get("resume_model"):
+            state = Checkpointer.restore_file(tcfg["resume_model"], state)
+            self.log.info("warm-started from %s", tcfg["resume_model"])
         t0 = time.perf_counter()
-        for epoch in range(max_epoch):
+        for epoch in range(start_epoch, max_epoch):
             state, loss = train_step(state, self.batch, self.splits["train"])
-            if epoch == 0:
+            if epoch == start_epoch:
                 # free once compiled (reuses the jit cache entry)
                 cost = program_cost(
                     train_step, state, self.batch, self.splits["train"]
@@ -129,6 +145,8 @@ class CitationRunner:
             if val_acc > best_val:
                 best_val, best_epoch = val_acc, epoch
                 self.ckpt.save("best", state, {"epoch": epoch, "val_acc": val_acc})
+            if (epoch + 1) % snapshot_every == 0:
+                self.ckpt.save("latest", state, {"epoch": epoch})
             if epoch - best_epoch > patience:
                 self.log.info("early stop at epoch %d", epoch)
                 break

@@ -215,6 +215,14 @@ class SparseCitationRunner:
         hidden = tuple(mcfg.get("hidden_dim", (64,)))
         c = int(graph["num_class"])
         drop = float(mcfg.get("dropout", 0.5))
+        # model.dtype: bfloat16 halves the E·F gather/scatter traffic
+        # that bounds the sparse step; params and the spectral core
+        # stay f32 (models/sparse_nodes.py dtype contract)
+        dtype_name = str(mcfg.get("dtype", "float32"))
+        self.compute_dtype = (
+            jnp.bfloat16 if dtype_name in ("bfloat16", "bf16")
+            else jnp.float32
+        )
         self.extras = None
         self.extra_specs = None
         if name == "LanczosNet":
@@ -326,6 +334,8 @@ class SparseCitationRunner:
                 f"(GCN | ChebyNet | GAT | DCNN | GraphSAGE | MPNN | GPNN "
                 f"| LanczosNet | AdaLanczosNet), got {name!r}"
             )
+        if self.compute_dtype is not jnp.float32:
+            self.model = self.model.clone(dtype=self.compute_dtype)
         if (
             self.mesh is not None
             and self.extras is not None
@@ -383,7 +393,7 @@ class SparseCitationRunner:
             def loss_fn(p):
                 logits = self._apply(p, False, rngs={"dropout": dr})
                 ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, labels
+                    logits.astype(jnp.float32), labels
                 )
                 m = splits["train"]
                 return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -426,9 +436,25 @@ class SparseCitationRunner:
         max_epoch = int(tcfg.get("max_epoch", 200))
         patience = int(tcfg.get("patience", 50))
         display = int(tcfg.get("display_iter", 20))
+        snapshot_every = int(tcfg.get("snapshot_epoch", 50))
         best_val, best_epoch = -1.0, -1
-        t0 = time.perf_counter()
         epoch = 0
+        if tcfg.get("is_resume") and self.ckpt.exists("latest"):
+            state = self.ckpt.restore("latest", state)
+            meta = self.ckpt.meta("latest") or {}
+            epoch = int(meta.get("epoch", -1)) + 1
+            best_meta = self.ckpt.meta("best") or {}
+            best_val = float(best_meta.get("val_acc", -1.0))
+            best_epoch = int(best_meta.get("epoch", -1))
+            self.log.info(
+                "resumed from epoch %d (best val so far %.4f)",
+                epoch, best_val,
+            )
+        elif tcfg.get("resume_model"):
+            state = Checkpointer.restore_file(tcfg["resume_model"], state)
+            self.log.info("warm-started from %s", tcfg["resume_model"])
+        start_epoch = epoch
+        t0 = time.perf_counter()
         while epoch < max_epoch:
             group = min(group_size, max_epoch - epoch)
             if group == 1:
@@ -436,7 +462,7 @@ class SparseCitationRunner:
             else:
                 state, losses = scanned_steps(state, n=group)
                 loss = losses[-1]
-            if epoch == 0 and group == 1:
+            if epoch == start_epoch and group == 1:
                 # free once the executable exists (reuses the jit cache
                 # entry); calling BEFORE the first step would pay the
                 # whole compile a second time through the AOT path
@@ -462,6 +488,8 @@ class SparseCitationRunner:
                 self.ckpt.save(
                     "best", state, {"epoch": epoch - 1, "val_acc": val_acc}
                 )
+            if epoch // snapshot_every != (epoch - group) // snapshot_every:
+                self.ckpt.save("latest", state, {"epoch": epoch - 1})
             if epoch - 1 - best_epoch > patience:
                 break
         wall = time.perf_counter() - t0

@@ -131,7 +131,17 @@ def main() -> None:
                 f"{r['test_acc']:.4f} | {r['wall_s']} |"
             )
         lines.append("")
-    Path(args.out).write_text("\n".join(lines))
+    # Preserve manually-maintained sections (long-training flagships,
+    # 100k-scale runs, bucketing experiment) below the auto tables.
+    out_path = Path(args.out)
+    if out_path.exists():
+        old = out_path.read_text().splitlines()
+        for marker in ("## Long-training flagships", "## Beyond-Pubmed"):
+            idx = [i for i, l in enumerate(old) if l.startswith(marker)]
+            if idx:
+                lines += old[idx[0]:]
+                break
+    out_path.write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
 
 

@@ -151,3 +151,38 @@ def test_citation_runner_end_to_end(tmp_path, name):
     assert res["best_val_acc"] > 1.0 / 7 + 0.05  # beats the class prior
     res2 = runner.test()
     assert res2["test_acc"] == pytest.approx(res["test_acc"], abs=1e-6)
+
+
+def test_citation_runner_resume(tmp_path):
+    """`train.is_resume` restarts the dense citation runner from the
+    periodic `latest` snapshot (parity with the QM8 runner policy)."""
+    import pathlib
+
+    def cfg_for(max_epoch):
+        return AttrDict.convert(
+            {
+                "exp_name": "cit_resume",
+                "runner": "CitationRunner",
+                "seed": 0,
+                "save_dir": str(tmp_path / "run"),
+                "dataset": {
+                    "source": "synthetic", "name": "cora", "scale": 0.08,
+                },
+                "model": {"name": "GCN", "hidden_dim": [32], "embed_dim": 32,
+                          "task": "node", "dropout": 0.0},
+                "train": {"optimizer": "Adam", "lr": 1e-2,
+                          "max_epoch": max_epoch, "patience": 1000,
+                          "display_iter": 50, "snapshot_epoch": 5,
+                          "is_resume": True},
+                "test": {},
+            }
+        )
+
+    pathlib.Path(tmp_path / "run").mkdir(parents=True, exist_ok=True)
+    first = build_runner(cfg_for(10)).train()
+    runner = build_runner(cfg_for(20))
+    assert runner.ckpt.exists("latest")
+    second = runner.train()
+    meta = runner.ckpt.meta("latest") or {}
+    assert int(meta.get("epoch", -1)) >= 9
+    assert second["best_val_acc"] >= first["best_val_acc"] - 1e-6

@@ -245,6 +245,101 @@ def test_sparse_runner_scanned_epochs_match_per_epoch(tmp_path):
     assert scanned["best_val_acc"] > 1.0 / 7 + 0.05
 
 
+def test_sparse_bf16_compute_matches_f32():
+    """`dtype=bfloat16` keeps params + spectral core f32; outputs must
+    track the f32 forward within bf16 resolution and grads must flow."""
+    import jax
+    import optax
+    from lanczosnet_tpu.data.citation import synthetic_citation_edges
+    from lanczosnet_tpu.models.sparse_nodes import (
+        SparseGCN,
+        SparseLanczosNet,
+    )
+    from lanczosnet_tpu.ops.sparse import (
+        sparse_lanczos_ritz,
+        sparse_sym_operator,
+    )
+
+    g = synthetic_citation_edges(80, num_class=3, feat_dim=8, seed=0)
+    op = sparse_sym_operator(g["edges"], 80)
+    x = jnp.asarray(g["features"])
+    y = jnp.asarray(g["labels"].astype(np.int32))
+    ritz = sparse_lanczos_ritz(op, 8)
+
+    for name, mk, args in (
+        ("gcn", lambda dt: SparseGCN(
+            hidden_dim=(16,), num_class=3, dropout=0.0, dtype=dt), (x, op)),
+        ("lnet", lambda dt: SparseLanczosNet(
+            hidden_dim=(16,), num_class=3, short_diffusion_dist=(1,),
+            long_diffusion_dist=(3,), dropout=0.0, dtype=dt),
+         (x, op, *ritz)),
+    ):
+        m32, m16 = mk(jnp.float32), mk(jnp.bfloat16)
+        params = m32.init(jax.random.PRNGKey(0), *args)["params"]
+        # params are f32 in BOTH precisions (compute-only cast)
+        assert all(
+            l.dtype == jnp.float32
+            for l in jax.tree.leaves(m16.init(jax.random.PRNGKey(0), *args))
+        )
+        out32 = m32.apply({"params": params}, *args)
+        out16 = m16.apply({"params": params}, *args)
+        assert out16.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(out32))) + 1e-6
+        err = float(jnp.max(jnp.abs(out32 - out16.astype(jnp.float32))))
+        assert err / scale < 0.1, (name, err, scale)
+
+        def loss(p):
+            logits = m16.apply({"params": p}, *args).astype(jnp.float32)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        grads = jax.jit(jax.grad(loss))(params)
+        gn = jax.tree_util.tree_reduce(
+            lambda a, v: a + jnp.sum(jnp.square(v.astype(jnp.float32))),
+            grads, 0.0,
+        ) ** 0.5
+        assert np.isfinite(float(gn)) and float(gn) > 0, name
+
+
+def test_sparse_runner_resume(tmp_path):
+    """`train.is_resume` restarts from the periodic `latest` snapshot
+    with the best-so-far carried over (parity with the QM8 runner's
+    resume policy, reference `snapshot()`/`load_model`)."""
+    import pathlib
+
+    def cfg_for(max_epoch):
+        return AttrDict.convert(
+            {
+                "exp_name": "sp_resume",
+                "runner": "SparseCitationRunner",
+                "seed": 0,
+                "save_dir": str(tmp_path / "run"),
+                "dataset": {
+                    "source": "synthetic", "name": "cora", "scale": 0.08,
+                },
+                "model": {"name": "GCN", "hidden_dim": [32], "dropout": 0.0},
+                "train": {
+                    "optimizer": "Adam", "lr": 1e-2,
+                    "max_epoch": max_epoch, "patience": 1000,
+                    "display_iter": 50, "snapshot_epoch": 5,
+                    "is_resume": True,
+                },
+                "test": {},
+            }
+        )
+
+    pathlib.Path(tmp_path / "run").mkdir(parents=True, exist_ok=True)
+    first = build_runner(cfg_for(10)).train()
+    # resume continues from the epoch-10 latest snapshot, not epoch 0
+    runner = build_runner(cfg_for(20))
+    assert runner.ckpt.exists("latest")
+    second = runner.train()
+    meta = runner.ckpt.meta("latest") or {}
+    assert int(meta.get("epoch", -1)) >= 10
+    assert second["best_val_acc"] >= first["best_val_acc"] - 1e-6
+
+
 def test_synthetic_edges_generator():
     from lanczosnet_tpu.data.citation import synthetic_citation_edges
 
