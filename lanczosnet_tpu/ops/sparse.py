@@ -116,6 +116,97 @@ def sparse_row_stochastic_operator(
     )
 
 
+@flax.struct.dataclass
+class RingOp:
+    """Node-sharded COO operator in ring-pipelined form.
+
+    Like the ``gather_axis`` mode of :class:`SparseOp` (destination
+    bucketing: this device owns all edges into its node block), but the
+    edges are ADDITIONALLY bucketed by source block: ``row/col/val`` are
+    ``[D, E2]`` — slice ``s`` holds the edges whose source lies in node
+    block ``s``, with ``row`` block-local to this device and ``col``
+    block-local to the source. :func:`ring_spmv` then never materializes
+    the full ``[N, F]`` source array: the D source blocks travel the
+    ring one hop per step (``ppermute``), each multiplied against the
+    matching edge slice while the next block is in flight — transient
+    memory is TWO blocks instead of N·F, and transfer overlaps compute
+    on ICI. Gradients ride the transposed ring (ppermute's transpose is
+    the reverse rotation).
+    """
+
+    row: jnp.ndarray  # [D, E2] destination rows, local to this device
+    col: jnp.ndarray  # [D, E2] source cols, local to the source block
+    val: jnp.ndarray  # [D, E2] weights (0 = padding edge)
+    n: int = flax.struct.field(pytree_node=False)  # local rows per block
+    axis: str = flax.struct.field(pytree_node=False, default="data")
+
+
+def ring_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
+    """``S @ x`` with node-sharded x ``[n_local, F]`` and the operator in
+    ring form; returns this device's ``[n_local, F]`` output rows."""
+    d = jax.lax.psum(1, rop.axis)
+    me = jax.lax.axis_index(rop.axis)
+    perm = [(i, (i - 1) % d) for i in range(d)]
+    # the zero accumulator must carry the device-varying vma type or
+    # the scan rejects the carry as type-changing (same as the sharded
+    # Lanczos carry in ops/lanczos.py)
+    acc0 = jax.lax.pcast(
+        jnp.zeros((rop.n,) + x.shape[1:], x.dtype), (rop.axis,), to="varying"
+    )
+
+    def step(carry, s):
+        block, acc = carry  # block = source block of device (me + s) % d
+        src = jax.lax.rem(me + s, d)
+        rows = jax.lax.dynamic_index_in_dim(rop.row, src, 0, keepdims=False)
+        cols = jax.lax.dynamic_index_in_dim(rop.col, src, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(
+            rop.val, src, 0, keepdims=False
+        ).astype(x.dtype)
+        msg = vals[:, None] * block[cols] if x.ndim == 2 else vals * block[cols]
+        acc = acc + jax.ops.segment_sum(msg, rows, num_segments=rop.n)
+        block = jax.lax.ppermute(block, rop.axis, perm)
+        return (block, acc), None
+
+    (_, acc), _ = jax.lax.scan(
+        step, (x, acc0), jnp.arange(d, dtype=jnp.int32)
+    )
+    return acc
+
+
+def ring_mean_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact neighbor mean in ring form (GraphSAGE's aggregator): the
+    live-edge count accumulates alongside the messages, so degrees are
+    complete without any extra pass."""
+    d = jax.lax.psum(1, rop.axis)
+    me = jax.lax.axis_index(rop.axis)
+    perm = [(i, (i - 1) % d) for i in range(d)]
+    acc0 = jax.lax.pcast(
+        jnp.zeros((rop.n,) + x.shape[1:], x.dtype), (rop.axis,), to="varying"
+    )
+    deg0 = jax.lax.pcast(
+        jnp.zeros((rop.n,), x.dtype), (rop.axis,), to="varying"
+    )
+
+    def step(carry, s):
+        block, acc, deg = carry
+        src = jax.lax.rem(me + s, d)
+        rows = jax.lax.dynamic_index_in_dim(rop.row, src, 0, keepdims=False)
+        cols = jax.lax.dynamic_index_in_dim(rop.col, src, 0, keepdims=False)
+        vals = jax.lax.dynamic_index_in_dim(rop.val, src, 0, keepdims=False)
+        live = (vals != 0.0).astype(x.dtype)
+        msg = live[:, None] * block[cols] if x.ndim == 2 else live * block[cols]
+        acc = acc + jax.ops.segment_sum(msg, rows, num_segments=rop.n)
+        deg = deg + jax.ops.segment_sum(live, rows, num_segments=rop.n)
+        block = jax.lax.ppermute(block, rop.axis, perm)
+        return (block, acc, deg), None
+
+    (_, acc, deg), _ = jax.lax.scan(
+        step, (x, acc0, deg0), jnp.arange(d, dtype=jnp.int32)
+    )
+    deg = jnp.maximum(deg, 1.0)
+    return acc / (deg[:, None] if x.ndim == 2 else deg)
+
+
 def gather_nodes(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     """Materialize the full node-axis view of ``x`` for ``col`` indexing.
 
@@ -133,11 +224,12 @@ def spectral_project(
     op: SparseOp, ritz_vec: jnp.ndarray, h: jnp.ndarray
 ) -> jnp.ndarray:
     """``Vᵀ h`` — the node-axis contraction of LanczosNet's low-rank
-    long-scale term. Node-sharded ops hold V and h as row blocks, so
-    the local ``[K, F]`` partial product is psum-completed."""
+    long-scale term. Node-sharded ops (gather or ring form) hold V and
+    h as row blocks, so the local ``[K, F]`` partial is psum-completed."""
     vtx = ritz_vec.T @ h
-    if op.gather_axis is not None:
-        vtx = jax.lax.psum(vtx, op.gather_axis)
+    axis = op.axis if isinstance(op, RingOp) else op.gather_axis
+    if axis is not None:
+        vtx = jax.lax.psum(vtx, axis)
     return vtx
 
 
@@ -156,6 +248,8 @@ def mean_spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     """Exact neighbor mean over the operator's support, independent of
     its normalization (GraphSAGE's aggregator — the sparse analog of
     dense `models/graph_sage.py` recomputing ``support / deg``)."""
+    if isinstance(op, RingOp):
+        return ring_mean_spmv(op, x)
     live = (op.val != 0.0).astype(x.dtype)
     xg = gather_nodes(op, x)
     msg = live[:, None] * xg[op.col] if x.ndim == 2 else live * xg[op.col]
@@ -218,7 +312,11 @@ def spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     gather+scatter traffic — the sparse step's bound, measured ~0.3
     FLOPs/byte — halves; the f32 spectral core is unaffected because
     its vectors are f32 so the cast is a no-op there.
+
+    A :class:`RingOp` takes the ring-pipelined path instead.
     """
+    if isinstance(op, RingOp):
+        return ring_spmv(op, x)
     val = op.val.astype(x.dtype)
     xg = gather_nodes(op, x)
     msg = val[:, None] * xg[op.col] if x.ndim == 2 else val * xg[op.col]
@@ -307,14 +405,17 @@ def sparse_lanczos_ritz(
     ``ritz_val`` comes out bitwise-replicated.
     """
     mask = jnp.ones((op.n,), jnp.float32)
+    shard_axis = (
+        op.axis if isinstance(op, RingOp) else op.gather_axis
+    )
     offset = (
-        jax.lax.axis_index(op.gather_axis) * op.n
-        if op.gather_axis is not None
+        jax.lax.axis_index(shard_axis) * op.n
+        if shard_axis is not None
         else 0
     )
     alphas, betas, q = lanczos_tridiag_matvec(
         lambda v: spmv(op, v), mask, k, eps,
-        axis=op.gather_axis, index_offset=offset,
+        axis=shard_axis, index_offset=offset,
     )
     t = tridiag_matrix(alphas, betas)
     vals, u = eigh_dispatch(t)

@@ -152,6 +152,58 @@ def node_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
     return sharded, n_pad
 
 
+def ring_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
+    """Node-shard a COO operator in RING form: destination bucketing
+    (as :func:`node_shard_sparse_op`) plus per-SOURCE-block bucketing.
+
+    Each device's edges are split into D slices by which node block the
+    source lives in, every slice padded to the global max so shapes are
+    static and identical across devices. `ops/sparse.py:ring_spmv` then
+    rotates the D source blocks around the ring with ``ppermute`` — one
+    block-sized transfer per step, overlapped with that step's local
+    gather+segment-sum — instead of one full-N ``all_gather``:
+    transient memory drops from N·F to 2·(N/D)·F and the transfer rides
+    ICI neighbor links. Returns ``(RingOp sharded over the mesh,
+    n_pad)``.
+    """
+    import jax.numpy as jnp
+
+    from lanczosnet_tpu.ops.sparse import RingOp
+
+    ndev = mesh.shape[axis]
+    row = np.asarray(op.row)
+    col = np.asarray(op.col)
+    val = np.asarray(op.val)
+    n_pad = -(-op.n // ndev) * ndev
+    n_loc = n_pad // ndev
+    dst = row // n_loc
+    src = col // n_loc
+    counts = np.zeros((ndev, ndev), np.int64)
+    for d in range(ndev):
+        for s in range(ndev):
+            counts[d, s] = int(((dst == d) & (src == s)).sum())
+    e_max = max(int(counts.max()), 1)
+    r = np.zeros((ndev, ndev, e_max), np.int32)
+    c = np.zeros((ndev, ndev, e_max), np.int32)
+    v = np.zeros((ndev, ndev, e_max), np.float32)
+    for d in range(ndev):
+        for s in range(ndev):
+            sel = (dst == d) & (src == s)
+            k = int(sel.sum())
+            r[d, s, :k] = row[sel] - d * n_loc
+            c[d, s, :k] = col[sel] - s * n_loc
+            v[d, s, :k] = val[sel]
+    sh = NamedSharding(mesh, P(axis))
+    sharded = RingOp(
+        row=jax.device_put(jnp.asarray(r.reshape(ndev * ndev, e_max)), sh),
+        col=jax.device_put(jnp.asarray(c.reshape(ndev * ndev, e_max)), sh),
+        val=jax.device_put(jnp.asarray(v.reshape(ndev * ndev, e_max)), sh),
+        n=n_loc,
+        axis=axis,
+    )
+    return sharded, n_pad
+
+
 def shard_node_array(x, mesh: Mesh, n_pad: int, axis: str = DATA_AXIS):
     """Pad a node-major array's axis 0 to ``n_pad`` (zeros) and shard it
     into the contiguous blocks `node_shard_sparse_op` assumes."""

@@ -50,6 +50,7 @@ from lanczosnet_tpu.models.sparse_nodes import (
     SparseMPNN,
 )
 from lanczosnet_tpu.ops.sparse import (
+    RingOp,
     SparseOp,
     sparse_lanczos_ritz,
     sparse_row_stochastic_operator,
@@ -60,6 +61,7 @@ from lanczosnet_tpu.parallel.mesh import (
     make_mesh,
     node_shard_sparse_op,
     replicate_sharding,
+    ring_shard_sparse_op,
     shard_node_array,
     shard_sparse_op,
 )
@@ -91,11 +93,18 @@ def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
     all_gathers (into reduce-scatters) and sums replicated-input
     cotangents.
     """
-    node_mode = op.gather_axis is not None
-    op_specs = SparseOp(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=op.n, axis=op.axis, gather_axis=op.gather_axis,
-    )
+    ring = isinstance(op, RingOp)
+    node_mode = ring or op.gather_axis is not None
+    if ring:
+        op_specs = RingOp(
+            row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
+            n=op.n, axis=op.axis,
+        )
+    else:
+        op_specs = SparseOp(
+            row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
+            n=op.n, axis=op.axis, gather_axis=op.gather_axis,
+        )
     node_spec = P(DATA_AXIS) if node_mode else P()
     extras = tuple(extras) if extras is not None else ()
     if extra_specs is None:
@@ -178,12 +187,27 @@ class SparseCitationRunner:
         self.mesh = None
         self.node_sharded = False
         self.init_op = self.op  # unsharded copy for flax init (no psum)
-        if ndev > 1 and shard_kind == "nodes":
+        if ndev > 1 and shard_kind in ("nodes", "nodes_ring"):
             # Node-sharded: activations/optimizer node-state are N/ndev
-            # per device — the memory-scaling mode.
+            # per device — the memory-scaling mode. "nodes_ring"
+            # additionally pipelines the source blocks around the ring
+            # (ppermute) instead of all_gathering them: transient
+            # memory 2·(N/ndev)·F instead of N·F, transfer overlapped
+            # with compute. Ring covers the pure-spmv model families;
+            # GAT / GPNN / AdaLanczosNet need per-edge source values
+            # beyond spmv and keep the gather mode.
             self.mesh = make_mesh(ndev)
             self.node_sharded = True
-            self.op, n_pad = node_shard_sparse_op(self.op, self.mesh)
+            if shard_kind == "nodes_ring":
+                if config.model["name"] in ("GAT", "GPNN", "AdaLanczosNet"):
+                    raise ValueError(
+                        f"train.shard: nodes_ring does not support "
+                        f"{config.model['name']} (needs gathered "
+                        "per-edge sources); use shard: nodes"
+                    )
+                self.op, n_pad = ring_shard_sparse_op(self.op, self.mesh)
+            else:
+                self.op, n_pad = node_shard_sparse_op(self.op, self.mesh)
             self.n_pad = n_pad
             # init/partition run unsharded on the zero-padded graph so
             # shapes line up with the padded node arrays (pad nodes are
@@ -234,11 +258,17 @@ class SparseCitationRunner:
                 # matvec callback is the sharded spmv (edge mode), or
                 # the node-block recursion with psum'd inner products
                 # (node mode, ritz_vec comes out node-sharded)
-                op_specs = SparseOp(
-                    row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-                    n=self.op.n, axis=self.op.axis,
-                    gather_axis=self.op.gather_axis,
-                )
+                if isinstance(self.op, RingOp):
+                    op_specs = RingOp(
+                        row=P(DATA_AXIS), col=P(DATA_AXIS),
+                        val=P(DATA_AXIS), n=self.op.n, axis=self.op.axis,
+                    )
+                else:
+                    op_specs = SparseOp(
+                        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
+                        n=self.op.n, axis=self.op.axis,
+                        gather_axis=self.op.gather_axis,
+                    )
                 vec_spec = P(DATA_AXIS) if self.node_sharded else P()
                 self.extras = jax.jit(jax.shard_map(
                     lambda lop: sparse_lanczos_ritz(lop, k),

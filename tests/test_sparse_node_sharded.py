@@ -265,3 +265,125 @@ def test_node_sharded_state_is_actually_sharded():
     assert len(shards) == 8
     assert all(s.data.shape[0] == n_pad // 8 for s in shards)
     assert sop.row.addressable_shards[0].data.shape[0] * 8 == sop.row.shape[0]
+
+
+RING_MODELS = {
+    k: v for k, v in MODELS.items() if k not in ("gat", "ada_lanczosnet")
+}
+
+
+@pytest.mark.parametrize("name", sorted(RING_MODELS))
+def test_ring_forward_and_grads_match_single_device(name):
+    """Ring-pipelined node sharding (ppermute source blocks, no
+    all_gather) must equal the unsharded forward/grads exactly like the
+    gather mode does."""
+    from lanczosnet_tpu.parallel.mesh import ring_shard_sparse_op
+
+    mesh = require_mesh()
+    g = small_graph()
+    n = g["features"].shape[0]
+    kind = (
+        sparse_row_stochastic_operator if name == "dcnn"
+        else sparse_sym_operator
+    )
+    op = kind(g["edges"], n)
+    rop, n_pad = ring_shard_sparse_op(op, mesh)
+    ref_op = kind(g["edges"], n_pad)
+    x = _pad(g["features"], n_pad)
+    xs = shard_node_array(g["features"], mesh, n_pad)
+    model = RING_MODELS[name](NUM_CLASS)
+    params = model.init(jax.random.PRNGKey(0), x, ref_op)["params"]
+    y = _pad(jnp.asarray(g["labels"].astype(np.int32)), n_pad)
+    m = _pad(jnp.ones((N,), jnp.float32), n_pad)
+    ys = shard_node_array(g["labels"].astype(np.int32), mesh, n_pad)
+    ms = shard_node_array(np.ones((N,), np.float32), mesh, n_pad)
+
+    def masked_ce(logits, y, m):
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        return jnp.sum(ce * m) / jnp.sum(m)
+
+    def loss_single(p):
+        return masked_ce(model.apply({"params": p}, x, ref_op), y, m)
+
+    def loss_ring(p):
+        logits = sharded_sparse_apply(mesh, model, p, xs, rop)
+        return masked_ce(logits, ys, ms)
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss_single))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_ring))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5, atol=2e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),
+        g0, g1,
+    )
+
+
+def test_ring_lanczos_ritz_matches_unsharded():
+    from lanczosnet_tpu.parallel.mesh import ring_shard_sparse_op
+    from lanczosnet_tpu.ops.sparse import RingOp
+
+    mesh = require_mesh()
+    g = small_graph()
+    n = g["features"].shape[0]
+    op = sparse_sym_operator(g["edges"], n)
+    rop, n_pad = ring_shard_sparse_op(op, mesh)
+    op_specs = RingOp(
+        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
+        n=rop.n, axis=DATA_AXIS,
+    )
+    k = 8
+    rv, rvec = jax.jit(jax.shard_map(
+        lambda lop: sparse_lanczos_ritz(lop, k),
+        mesh=mesh, in_specs=(op_specs,), out_specs=(P(), P(DATA_AXIS)),
+    ))(rop)
+    rv0, rvec0 = sparse_lanczos_ritz(sparse_sym_operator(g["edges"], n_pad), k)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(rv0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rvec), np.asarray(rvec0), atol=1e-4)
+
+
+def test_ring_runner_end_to_end_and_rejects_unsupported():
+    from lanczosnet_tpu.train.sparse_citation_runner import (
+        SparseCitationRunner,
+    )
+    from lanczosnet_tpu.utils.config import AttrDict
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    import tempfile
+
+    def cfg_for(model_cfg):
+        return AttrDict(
+            {
+                "seed": 0,
+                "save_dir": tempfile.mkdtemp(),
+                "dataset": {
+                    "source": "synthetic_edges", "num_nodes": 100,
+                    "num_class": 3, "feat_dim": 8, "avg_degree": 4.0,
+                },
+                "model": model_cfg,
+                "train": {
+                    "num_devices": 8, "shard": "nodes_ring", "max_epoch": 5,
+                    "patience": 10, "lr": 1e-2, "optimizer": "Adam",
+                    "display_iter": 2,
+                },
+            }
+        )
+
+    res = SparseCitationRunner(
+        cfg_for({"name": "GCN", "hidden_dim": [16], "dropout": 0.1})
+    ).train()
+    assert np.isfinite(res["best_val_acc"])
+
+    res = SparseCitationRunner(
+        cfg_for({
+            "name": "LanczosNet", "hidden_dim": [16], "dropout": 0.0,
+            "num_eig_vec": 8, "short_diffusion_dist": [1],
+            "long_diffusion_dist": [3],
+        })
+    ).train()
+    assert np.isfinite(res["best_val_acc"])
+
+    with pytest.raises(ValueError, match="nodes_ring"):
+        SparseCitationRunner(
+            cfg_for({"name": "GAT", "hidden_dim": [16]})
+        )
