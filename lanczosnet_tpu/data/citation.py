@@ -148,10 +148,15 @@ def synthetic_citation_edges(
             ] = True
     rest = np.nonzero(~train_mask)[0]
     rng.shuffle(rest)
+    # Planetoid-style 500/1000 val/test, scaled down so SMALL graphs
+    # still get a non-empty test split (fixed cutoffs left test empty
+    # below ~560 nodes and silently reported 0.0 accuracy)
+    n_val = min(500, max(1, len(rest) // 2))
+    n_test = min(1000, len(rest) - n_val)
     val_mask = np.zeros(n, bool)
     test_mask = np.zeros(n, bool)
-    val_mask[rest[:500]] = True
-    test_mask[rest[500:1500]] = True
+    val_mask[rest[:n_val]] = True
+    test_mask[rest[n_val : n_val + n_test]] = True
     return {
         "features": features,
         "labels": labels,

@@ -376,3 +376,18 @@ def test_sparse_runner_synthetic_edges(tmp_path):
     pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
     res = build_runner(cfg).train()
     assert res["best_val_acc"] > 1.0 / 5 + 0.05
+
+
+def test_synthetic_edges_small_graphs_get_test_split():
+    """Fixed 500/1000 cutoffs left graphs under ~560 nodes with an
+    EMPTY test split (silently reported 0.0 accuracy); splits now scale
+    down while keeping the Planetoid 500/1000 at dataset scale."""
+    from lanczosnet_tpu.data.citation import synthetic_citation_edges
+
+    small = synthetic_citation_edges(200, num_class=3, feat_dim=8, seed=7)
+    assert small["test_mask"].sum() > 0
+    assert small["val_mask"].sum() > 0
+    assert not (small["val_mask"] & small["test_mask"]).any()
+    big = synthetic_citation_edges(5000, num_class=5, feat_dim=16, seed=7)
+    assert big["val_mask"].sum() == 500
+    assert big["test_mask"].sum() == 1000
