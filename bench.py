@@ -254,6 +254,9 @@ def main():
                 # PyTorch-CPU proxy implemented in this file.
                 "vs_baseline": round(vs, 2) if vs else 0.0,
                 "baseline": "same-shape eager PyTorch-CPU proxy (NOT the reference)",
+                # absolute proxy throughput, so host-load drift in the
+                # multiplier is attributable at a glance
+                "baseline_graphs_per_sec": round(base, 1) if base == base else None,
                 "tflops_per_sec": round(r["tflops_per_sec"], 2),
                 "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
                 "flops_per_graph": round(r["flops_per_graph"]),

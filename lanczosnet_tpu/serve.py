@@ -292,3 +292,12 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
+        # Drain: a request submitted but never batched must fail fast,
+        # not leave its client blocked forever in fut.result().
+        while True:
+            try:
+                _, fut, _ = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher closed"))

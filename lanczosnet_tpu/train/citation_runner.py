@@ -41,7 +41,14 @@ class CitationRunner:
         enable_compilation_cache()
         set_prng_impl(config.train.get("prng_impl", "rbg"))
         self.run_dir = Path(config.save_dir)
-        self.metrics = MetricsLogger(self.run_dir / "metrics.jsonl")
+        self.metrics = MetricsLogger(
+            self.run_dir / "metrics.jsonl",
+            tensorboard_dir=(
+                self.run_dir / "tb"
+                if config.train.get("tensorboard")
+                else None
+            ),
+        )
         self.ckpt = Checkpointer(self.run_dir)
 
         dcfg = config.dataset
@@ -102,7 +109,7 @@ class CitationRunner:
         max_epoch = int(tcfg.get("max_epoch", 200))
         patience = int(tcfg.get("patience", 50))
         display = int(tcfg.get("display_iter", 20))
-        snapshot_every = int(tcfg.get("snapshot_epoch", 50))
+        snapshot_every = max(1, int(tcfg.get("snapshot_epoch", 50)))
         start_epoch = 0
         best_val, best_epoch = -1.0, -1
         if tcfg.get("is_resume") and self.ckpt.exists("latest"):

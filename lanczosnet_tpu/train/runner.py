@@ -60,7 +60,14 @@ class QM8Runner:
         enable_compilation_cache()
         set_prng_impl(config.train.get("prng_impl", "rbg"))
         self.run_dir = Path(config.save_dir)
-        self.metrics = MetricsLogger(self.run_dir / "metrics.jsonl")
+        self.metrics = MetricsLogger(
+            self.run_dir / "metrics.jsonl",
+            tensorboard_dir=(
+                self.run_dir / "tb"
+                if config.train.get("tensorboard")
+                else None
+            ),
+        )
         self.ckpt = Checkpointer(self.run_dir)
 
         dcfg = config.dataset
@@ -260,6 +267,8 @@ class QM8Runner:
         buckets = {s: as_buckets(self.datasets[s]) for s in SPLITS}
         g_train = sum(len(d) for d in buckets["train"].values())
         pairing = bool(tcfg.get("bucket_pair")) and len(buckets["train"]) > 1
+        if pairing and bs < 2:
+            raise ValueError("bucket_pair needs batch_size >= 2")
         if pairing:
             # paired steps consume two half-batches per update
             steps_per_epoch = (

@@ -42,17 +42,56 @@ def get_logger(name: str = "lanczosnet_tpu") -> logging.Logger:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics writer; one record per event."""
+    """Append-only JSONL metrics writer; one record per event.
 
-    def __init__(self, path: str | Path):
+    ``tensorboard_dir`` optionally mirrors every numeric field into a
+    TensorBoard event file as scalar ``<event>/<field>`` (SURVEY.md §5
+    "optional TensorBoard"; enable with ``train.tensorboard: true``).
+    The step is the record's own ``epoch``/``step``/``iter`` field when
+    present, else a per-event counter. JSONL stays the source of truth;
+    the mirror degrades to a no-op if tensorboard isn't importable.
+    """
+
+    def __init__(
+        self, path: str | Path, tensorboard_dir: str | Path | None = None
+    ):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._f = open(self.path, "a")
+        self._tb = None
+        self._tb_counts: dict[str, int] = {}
+        if tensorboard_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=str(tensorboard_dir))
+            except Exception:
+                self._tb = None
 
     def log(self, event: str, **fields: Any) -> None:
         rec = {"event": event, "time": time.time(), **fields}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            step = None
+            for k in ("epoch", "step", "iter"):
+                v = fields.get(k)
+                if isinstance(v, (int, float)) and v == v:
+                    step = int(v)
+                    break
+            if step is None:
+                step = self._tb_counts.get(event, 0)
+                self._tb_counts[event] = step + 1
+            for k, v in fields.items():
+                if (
+                    isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    and v == v
+                ):
+                    self._tb.add_scalar(f"{event}/{k}", v, step)
+            self._tb.flush()
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

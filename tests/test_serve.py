@@ -148,3 +148,24 @@ def test_microbatcher_correctness_and_latency(tmp_path):
         )
     finally:
         mb.close()
+
+
+def test_microbatcher_close_drains_queued_futures(tmp_path):
+    """A request submitted but never batched must fail fast on close,
+    not leave its client blocked forever in fut.result()."""
+    from lanczosnet_tpu.serve import MicroBatcher
+
+    cfg = _runner_config(tmp_path, "GCN")
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    save_config(cfg, pathlib.Path(cfg.save_dir) / "config.yaml")
+    build_runner(cfg).train()
+    pred = Predictor.from_run_dir(cfg.save_dir, batch_size=8)
+
+    mb = MicroBatcher(pred, max_delay_ms=5.0)
+    # stop the worker first so the submission can never be served
+    mb._stop.set()
+    mb._worker.join(timeout=10.0)
+    fut = mb.submit(synthetic_qm8_graphs(1, seed=3, n_hi=10)[0])
+    mb.close()
+    with pytest.raises(RuntimeError, match="batcher closed"):
+        fut.result(timeout=5)
