@@ -43,17 +43,15 @@ import jax.numpy as jnp
 from lanczosnet_tpu.models.base import MLP
 from lanczosnet_tpu.ops.sparse import (
     SparseOp,
-    attention_spmv,
-    gather_nodes,
+    gat_attention,
+    learned_kernel_op,
     live_degree,
-    masked_val_op,
     mean_spmv,
-    segment_softmax_coo,
+    partition_masks,
     sparse_diffusion_features,
     sparse_lanczos_ritz,
     spectral_project,
     spmv,
-    sym_normalize_coo,
 )
 
 
@@ -155,21 +153,11 @@ class SparseGAT(nn.Module):
             ).astype(self.dtype)
             s_src = jnp.sum(hp * a_src[None], axis=-1)  # [N, H]
             s_dst = jnp.sum(hp * a_dst[None], axis=-1)  # [N, H]
-            # edge (i <- j): destination=row (segment), source=col
-            logits = nn.leaky_relu(
-                s_dst[op.row] + gather_nodes(op, s_src)[op.col],
-                self.negative_slope,
-            )  # [E, H]
-            self_logits = nn.leaky_relu(
-                s_dst + s_src, self.negative_slope
-            )  # [N, H]
-            p, denom, p_self = segment_softmax_coo(logits, op, self_logits)
-            msg = attention_spmv(op, p, hp)  # [N, H, D]
-            msg = msg + p_self[..., None] * hp  # implicit self-edge
-            h = (msg / denom[..., None].astype(self.dtype)).reshape(
-                h.shape[0], -1
-            )
-            h = nn.elu(h)
+            # edge (i <- j): destination=row (segment), source=col;
+            # masked softmax + self-edge + aggregation for both op
+            # kinds (RingOp = online-softmax ring, ops/sparse.py)
+            msg = gat_attention(op, s_dst, s_src, hp, self.negative_slope)
+            h = nn.elu(msg.reshape(h.shape[0], -1))
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
@@ -319,9 +307,7 @@ class SparseGPNN(nn.Module):
         part: jnp.ndarray,  # [N] int32 partition ids
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        same = part[op.row] == gather_nodes(op, part)[op.col]
-        intra_op = masked_val_op(op, same)
-        cut_op = masked_val_op(op, ~same)
+        intra_op, cut_op = partition_masks(op, part)
         boundary = (live_degree(cut_op) > 0).astype(self.dtype)[:, None]
 
         h = x.astype(self.dtype)
@@ -379,10 +365,9 @@ class SparseAdaLanczosNet(nn.Module):
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
         emb = nn.Dense(self.kernel_dim, name="kernel_embed")(x)
-        embg = gather_nodes(op, emb)
-        d2 = jnp.sum((emb[op.row] - embg[op.col]) ** 2, axis=-1)  # [E]
-        kernel = jnp.exp(-d2 / jnp.sqrt(float(self.kernel_dim)))
-        lop = sym_normalize_coo(op, kernel)
+        # per-edge Gaussian kernel on the support, sym-normalized —
+        # ring form rotates the embedding blocks (ops/sparse.py)
+        lop = learned_kernel_op(op, emb)
         # the Lanczos recursion and its Ritz pairs stay f32 regardless
         # of the compute dtype — orthogonality dies in bf16
         ritz_val, ritz_vec = sparse_lanczos_ritz(lop, self.num_eig_vec)
@@ -401,7 +386,9 @@ class SparseAdaLanczosNet(nn.Module):
                 f = MLP((self.filter_hidden_dim, 1),
                         name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
                 vtx = spectral_project(lop, ritz_vec, h)  # [K, F] f32
-                parts.append((ritz_vec @ (f[:, None] * vtx)).astype(h.dtype))
+                with jax.default_matmul_precision("float32"):
+                    recon = ritz_vec @ (f[:, None] * vtx)
+                parts.append(recon.astype(h.dtype))
             h = nn.relu(
                 nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
                     jnp.concatenate(parts, axis=-1)
@@ -444,7 +431,9 @@ class SparseLanczosNet(nn.Module):
                 # Ritz pairs are precomputed f32; the projection runs
                 # f32 and only the reconstruction rejoins compute dtype
                 vtx = spectral_project(op, ritz_vec, h)  # [K, F] f32
-                parts.append((ritz_vec @ (f[:, None] * vtx)).astype(h.dtype))
+                with jax.default_matmul_precision("float32"):
+                    recon = ritz_vec @ (f[:, None] * vtx)
+                parts.append(recon.astype(h.dtype))
             h = nn.relu(
                 nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
                     jnp.concatenate(parts, axis=-1)

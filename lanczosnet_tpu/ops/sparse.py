@@ -45,6 +45,14 @@ class SparseOp:
         `shard_map` over that axis (`parallel/mesh.py:shard_sparse_op`).
         Because the axis tag rides the pytree, model code is identical
         sharded and unsharded.
+      n_true: the TRUE (pre-padding) global node count, when the node
+        axis has been padded to a mesh-size multiple (the node-sharded
+        builders in `parallel/mesh.py` set it). `sparse_lanczos_ritz`
+        uses it to zero the start vector on padding rows so Ritz pairs
+        are device-count-invariant (padding amount varies with the mesh
+        size; without this, pad nodes get nonzero start weight and one
+        Krylov direction is spent on eigenvalue 0). ``None`` = every
+        row is real.
       gather_axis: optional mesh-axis name for the *node-sharded* mode
         (`parallel/mesh.py:node_shard_sparse_op`): node arrays are
         sharded into contiguous blocks of ``n`` rows per device and the
@@ -65,6 +73,7 @@ class SparseOp:
     gather_axis: str | None = flax.struct.field(
         pytree_node=False, default=None
     )
+    n_true: int | None = flax.struct.field(pytree_node=False, default=None)
 
     def __post_init__(self):
         if self.axis is not None and self.gather_axis is not None:
@@ -139,6 +148,7 @@ class RingOp:
     val: jnp.ndarray  # [D, E2] weights (0 = padding edge)
     n: int = flax.struct.field(pytree_node=False)  # local rows per block
     axis: str = flax.struct.field(pytree_node=False, default="data")
+    n_true: int | None = flax.struct.field(pytree_node=False, default=None)
 
 
 def ring_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
@@ -207,6 +217,197 @@ def ring_mean_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
     return acc / (deg[:, None] if x.ndim == 2 else deg)
 
 
+def _ring_env(rop: RingOp):
+    """(device count, my index, one-hop-back permutation) of the ring."""
+    d = jax.lax.psum(1, rop.axis)
+    me = jax.lax.axis_index(rop.axis)
+    perm = [(i, (i - 1) % d) for i in range(d)]
+    return d, me, perm
+
+
+def _ring_slice(rop: RingOp, src) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """This device's (rows, cols, vals) edge slice whose sources live in
+    node block ``src`` (rows local to this device, cols to the source)."""
+    rows = jax.lax.dynamic_index_in_dim(rop.row, src, 0, keepdims=False)
+    cols = jax.lax.dynamic_index_in_dim(rop.col, src, 0, keepdims=False)
+    vals = jax.lax.dynamic_index_in_dim(rop.val, src, 0, keepdims=False)
+    return rows, cols, vals
+
+
+def _pcast_zeros(shape, dtype, axis):
+    """Zero scan-carry with the device-varying vma type shard_map scans
+    require (same gotcha as ring_spmv's accumulator)."""
+    return jax.lax.pcast(jnp.zeros(shape, dtype), (axis,), to="varying")
+
+
+def gat_attention(
+    op: SparseOp,
+    s_dst: jnp.ndarray,
+    s_src: jnp.ndarray,
+    hp: jnp.ndarray,
+    negative_slope: float = 0.2,
+    eps: float = 1e-16,
+) -> jnp.ndarray:
+    """GAT's masked neighborhood attention in one call, both op kinds.
+
+    Per destination node: softmax over its live incoming edges PLUS an
+    implicit self-edge, logits ``leaky_relu(s_dst[dst] + s_src[src])``,
+    aggregation ``Σ p_e · hp[src]`` — returns the normalized ``[N, H, D]``
+    messages (self term included).
+
+    SparseOp: composes `segment_softmax_coo` + `attention_spmv` (the
+    gather mode / unsharded path). RingOp: an ONLINE-softmax ring — the
+    graph analog of ring attention. The source blocks of ``s_src`` and
+    ``hp`` rotate one hop per step (`ppermute`), and each destination
+    carries a running max ``m``, denominator and weighted sum that are
+    rescaled by ``exp(m − m_new)`` as new source blocks arrive; the self
+    edge folds in after the last hop. Exact (not approximate): softmax
+    is invariant to the running max, whose gradient is cut like the
+    sparse path's segment max. Destination bucketing means every
+    segment reduction is device-local — the only communication is the
+    two rotating blocks.
+    """
+    self_logits = jax.nn.leaky_relu(s_dst + s_src, negative_slope)  # [n, H]
+    if not isinstance(op, RingOp):
+        logits = jax.nn.leaky_relu(
+            s_dst[op.row] + gather_nodes(op, s_src)[op.col], negative_slope
+        )  # [E, H]
+        p, denom, p_self = segment_softmax_coo(logits, op, self_logits)
+        msg = attention_spmv(op, p, hp) + p_self[..., None] * hp
+        return msg / denom[..., None].astype(hp.dtype)
+
+    d, me, perm = _ring_env(op)
+    n, h = s_dst.shape
+    neg = jnp.asarray(-1e30, s_dst.dtype)
+    # -1e30 (not -inf) so the never-updated state stays NaN-free:
+    # exp(neg - neg) = 1 rescales an empty accumulator, exp(neg - m)
+    # underflows to 0 — no inf - inf anywhere
+    m0 = jax.lax.pcast(
+        jnp.full((n, h), neg, s_dst.dtype), (op.axis,), to="varying"
+    )
+    den0 = _pcast_zeros((n, h), s_dst.dtype, op.axis)
+    acc0 = _pcast_zeros(hp.shape, hp.dtype, op.axis)
+
+    def step(carry, s):
+        s_blk, hp_blk, m, den, acc = carry
+        src = jax.lax.rem(me + s, d)
+        rows, cols, vals = _ring_slice(op, src)
+        live = (vals != 0.0).astype(s_dst.dtype)[:, None]  # [E2, 1]
+        logits = jax.nn.leaky_relu(
+            s_dst[rows] + s_blk[cols], negative_slope
+        )  # [E2, H]
+        masked = jnp.where(live > 0, logits, neg)
+        m_s = jax.ops.segment_max(
+            jax.lax.stop_gradient(masked), rows, num_segments=n
+        )
+        m_new = jnp.maximum(m, jnp.maximum(m_s, neg))
+        scale = jnp.exp(m - m_new)  # ≤ 1; ==1 while both are neg
+        p = jnp.exp(masked - m_new[rows]) * live  # dead edges exactly 0
+        den = den * scale + jax.ops.segment_sum(p, rows, num_segments=n)
+        acc = acc * scale[..., None] + jax.ops.segment_sum(
+            p[..., None].astype(hp.dtype) * hp_blk[cols],
+            rows, num_segments=n,
+        )
+        s_blk = jax.lax.ppermute(s_blk, op.axis, perm)
+        hp_blk = jax.lax.ppermute(hp_blk, op.axis, perm)
+        return (s_blk, hp_blk, m_new, den, acc), None
+
+    (_, _, m, den, acc), _ = jax.lax.scan(
+        step, (s_src, hp, m0, den0, acc0), jnp.arange(d, dtype=jnp.int32)
+    )
+    # fold the implicit self-edge exactly like the sparse path does
+    m_fin = jnp.maximum(m, jax.lax.stop_gradient(self_logits))
+    rescale = jnp.exp(m - m_fin)
+    p_self = jnp.exp(self_logits - m_fin)
+    den = den * rescale + p_self
+    acc = acc * rescale[..., None] + p_self[..., None] * hp
+    return acc / jnp.maximum(den, eps)[..., None].astype(hp.dtype)
+
+
+def partition_masks(op, part: jnp.ndarray):
+    """Split an operator into (intra, cut) views by per-node partition
+    ids — GPNN's schedule operators, both op kinds.
+
+    ``part [n]`` (node-sharded: this device's block). Intra keeps edges
+    whose endpoints share a partition, cut the crossers; both are free
+    `masked_val_op` views (static shapes). RingOp: the partition vector
+    itself rides the ring once so each edge slice compares against its
+    SOURCE block's ids.
+    """
+    if not isinstance(op, RingOp):
+        same = part[op.row] == gather_nodes(op, part)[op.col]
+        return masked_val_op(op, same), masked_val_op(op, ~same)
+
+    d, me, perm = _ring_env(op)
+
+    def step(block, s):
+        src = jax.lax.rem(me + s, d)
+        rows, cols, _ = _ring_slice(op, src)
+        same_s = part[rows] == block[cols]
+        block = jax.lax.ppermute(block, op.axis, perm)
+        return block, (src, same_s)
+
+    _, (srcs, same_steps) = jax.lax.scan(
+        step, part, jnp.arange(d, dtype=jnp.int32)
+    )
+    # scan stacks in STEP order; edge slices are indexed by SOURCE block
+    same = jnp.zeros(op.val.shape, bool).at[srcs].set(same_steps)
+    return masked_val_op(op, same), masked_val_op(op, ~same)
+
+
+def learned_kernel_op(op, emb: jnp.ndarray, eps: float = 1e-12):
+    """AdaLanczosNet's learned operator on the edge support, both kinds:
+    per-edge Gaussian kernel ``exp(−‖e_dst − e_src‖²/√dim)`` of node
+    embeddings, symmetrically normalized — differentiable end to end.
+
+    SparseOp: one gather + `sym_normalize_coo`. RingOp: two ring
+    passes — the embedding blocks rotate once to evaluate the kernel
+    per (dst, src) edge slice, then (degrees being destination-local
+    sums over all slices) the ``[n_local]`` inverse-sqrt-degree vector
+    rotates once more to scale each slice by its source's normalizer.
+    """
+    scale = jnp.sqrt(jnp.asarray(float(emb.shape[-1]), emb.dtype))
+    if not isinstance(op, RingOp):
+        d2 = jnp.sum((emb[op.row] - gather_nodes(op, emb)[op.col]) ** 2, -1)
+        return sym_normalize_coo(op, jnp.exp(-d2 / scale), eps)
+
+    d, me, perm = _ring_env(op)
+
+    def kstep(block, s):
+        src = jax.lax.rem(me + s, d)
+        rows, cols, vals = _ring_slice(op, src)
+        live = (vals != 0.0).astype(emb.dtype)
+        d2 = jnp.sum((emb[rows] - block[cols]) ** 2, axis=-1)
+        k_s = jnp.exp(-d2 / scale) * live
+        block = jax.lax.ppermute(block, op.axis, perm)
+        return block, (src, k_s)
+
+    _, (srcs, k_steps) = jax.lax.scan(
+        kstep, emb, jnp.arange(d, dtype=jnp.int32)
+    )
+    kval = jnp.zeros(op.val.shape, emb.dtype).at[srcs].set(k_steps)
+    # destination bucketing: EVERY incoming edge of a local row is in
+    # one of this device's slices, so the degree sum is local
+    deg = jax.ops.segment_sum(
+        kval.reshape(-1), op.row.reshape(-1), num_segments=op.n
+    )
+    inv = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, eps)), 0.0)
+
+    def nstep(block, s):
+        src = jax.lax.rem(me + s, d)
+        rows, cols, _ = _ring_slice(op, src)
+        k_s = jax.lax.dynamic_index_in_dim(kval, src, 0, keepdims=False)
+        v_s = k_s * inv[rows] * block[cols]
+        block = jax.lax.ppermute(block, op.axis, perm)
+        return block, (src, v_s)
+
+    _, (srcs2, v_steps) = jax.lax.scan(
+        nstep, inv, jnp.arange(d, dtype=jnp.int32)
+    )
+    val = jnp.zeros(op.val.shape, emb.dtype).at[srcs2].set(v_steps)
+    return op.replace(val=val)
+
+
 def gather_nodes(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     """Materialize the full node-axis view of ``x`` for ``col`` indexing.
 
@@ -225,8 +426,12 @@ def spectral_project(
 ) -> jnp.ndarray:
     """``Vᵀ h`` — the node-axis contraction of LanczosNet's low-rank
     long-scale term. Node-sharded ops (gather or ring form) hold V and
-    h as row blocks, so the local ``[K, F]`` partial is psum-completed."""
-    vtx = ritz_vec.T @ h
+    h as row blocks, so the local ``[K, F]`` partial is psum-completed.
+    Runs at full f32 precision like the dense path — bf16 MXU inputs
+    (the TPU default) would silently halve the spectral features'
+    mantissa."""
+    with jax.default_matmul_precision("float32"):
+        vtx = ritz_vec.T @ h
     axis = op.axis if isinstance(op, RingOp) else op.gather_axis
     if axis is not None:
         vtx = jax.lax.psum(vtx, axis)
@@ -236,8 +441,14 @@ def spectral_project(
 def live_degree(op: SparseOp) -> jnp.ndarray:
     """Per-node count of live incoming edges (``val != 0``), psum-
     completed across edge shards — the structural degree regardless of
-    the operator's normalization."""
+    the operator's normalization. RingOp: destination bucketing makes
+    the count local (all of a row's incoming edges are in this device's
+    slices) — flatten the [D, E2] slices, no collective."""
     live = (op.val != 0.0).astype(jnp.float32)
+    if isinstance(op, RingOp):
+        return jax.ops.segment_sum(
+            live.reshape(-1), op.row.reshape(-1), num_segments=op.n
+        )
     deg = jax.ops.segment_sum(live, op.row, num_segments=op.n)
     if op.axis is not None:
         deg = jax.lax.psum(deg, op.axis)
@@ -281,8 +492,14 @@ def sym_normalize_coo(
     learned kernel living on the COO support (AdaLanczosNet's in-forward
     operator): degrees are segment sums of the kernel (psum-completed
     across edge shards), and gradients flow through both the kernel and
-    the normalization.
+    the normalization. (RingOp callers go through `learned_kernel_op`,
+    which runs the slice-form equivalent.)
     """
+    if isinstance(op, RingOp):
+        raise TypeError(
+            "sym_normalize_coo takes a SparseOp; for ring form use "
+            "learned_kernel_op"
+        )
     live = (op.val != 0.0).astype(kernel.dtype)
     k = kernel * live
     deg = jax.ops.segment_sum(k, op.row, num_segments=op.n)
@@ -402,9 +619,10 @@ def sparse_lanczos_ritz(
     the exact global recursion (inner products psum over the node
     axis, the start vector is indexed by global node id) and return
     this device's ``[n_local, k]`` rows of the Ritz vectors;
-    ``ritz_val`` comes out bitwise-replicated.
+    ``ritz_val`` comes out bitwise-replicated. When ``op.n_true`` is
+    set, padding rows (global id >= n_true) are masked out of the
+    start vector so Ritz pairs are identical for every device count.
     """
-    mask = jnp.ones((op.n,), jnp.float32)
     shard_axis = (
         op.axis if isinstance(op, RingOp) else op.gather_axis
     )
@@ -413,13 +631,21 @@ def sparse_lanczos_ritz(
         if shard_axis is not None
         else 0
     )
+    if op.n_true is not None:
+        ids = offset + jnp.arange(op.n, dtype=jnp.int32)
+        mask = (ids < op.n_true).astype(jnp.float32)
+    else:
+        mask = jnp.ones((op.n,), jnp.float32)
     alphas, betas, q = lanczos_tridiag_matvec(
         lambda v: spmv(op, v), mask, k, eps,
         axis=shard_axis, index_offset=offset,
     )
     t = tridiag_matrix(alphas, betas)
     vals, u = eigh_dispatch(t)
-    return vals, q.T @ u
+    # Ritz rotation at full f32 (matches the dense lanczos_ritz — the
+    # default TPU matmul precision is bf16 inputs)
+    with jax.default_matmul_precision("float32"):
+        return vals, q.T @ u
 
 
 def sparse_diffusion_features(

@@ -148,6 +148,10 @@ def node_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
         val=jax.device_put(jnp.asarray(v.reshape(-1)), sh),
         n=n_loc,
         gather_axis=axis,
+        # the input op's node count is the true one; padding to n_pad
+        # is this function's doing — record it so the sharded Lanczos
+        # start vector stays device-count-invariant
+        n_true=op.n_true if op.n_true is not None else op.n,
     )
     return sharded, n_pad
 
@@ -200,6 +204,7 @@ def ring_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
         val=jax.device_put(jnp.asarray(v.reshape(ndev * ndev, e_max)), sh),
         n=n_loc,
         axis=axis,
+        n_true=op.n_true if op.n_true is not None else op.n,
     )
     return sharded, n_pad
 

@@ -98,12 +98,13 @@ def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
     if ring:
         op_specs = RingOp(
             row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-            n=op.n, axis=op.axis,
+            n=op.n, axis=op.axis, n_true=op.n_true,
         )
     else:
         op_specs = SparseOp(
             row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
             n=op.n, axis=op.axis, gather_axis=op.gather_axis,
+            n_true=op.n_true,
         )
     node_spec = P(DATA_AXIS) if node_mode else P()
     extras = tuple(extras) if extras is not None else ()
@@ -141,7 +142,14 @@ class SparseCitationRunner:
         enable_compilation_cache()
         set_prng_impl(config.train.get("prng_impl", "rbg"))
         self.run_dir = Path(config.save_dir)
-        self.metrics = MetricsLogger(self.run_dir / "metrics.jsonl")
+        self.metrics = MetricsLogger(
+            self.run_dir / "metrics.jsonl",
+            tensorboard_dir=(
+                self.run_dir / "tb"
+                if config.train.get("tensorboard")
+                else None
+            ),
+        )
         self.ckpt = Checkpointer(self.run_dir)
 
         dcfg = config.dataset
@@ -193,18 +201,13 @@ class SparseCitationRunner:
             # additionally pipelines the source blocks around the ring
             # (ppermute) instead of all_gathering them: transient
             # memory 2·(N/ndev)·F instead of N·F, transfer overlapped
-            # with compute. Ring covers the pure-spmv model families;
-            # GAT / GPNN / AdaLanczosNet need per-edge source values
-            # beyond spmv and keep the gather mode.
+            # with compute. All nine families ride the ring: spmv ones
+            # directly, GAT via the online-softmax ring, AdaLanczosNet
+            # via per-(dst,src)-slice kernel evaluation, GPNN via
+            # rotated partition masks (ops/sparse.py).
             self.mesh = make_mesh(ndev)
             self.node_sharded = True
             if shard_kind == "nodes_ring":
-                if config.model["name"] in ("GAT", "GPNN", "AdaLanczosNet"):
-                    raise ValueError(
-                        f"train.shard: nodes_ring does not support "
-                        f"{config.model['name']} (needs gathered "
-                        "per-edge sources); use shard: nodes"
-                    )
                 self.op, n_pad = ring_shard_sparse_op(self.op, self.mesh)
             else:
                 self.op, n_pad = node_shard_sparse_op(self.op, self.mesh)
@@ -262,12 +265,14 @@ class SparseCitationRunner:
                     op_specs = RingOp(
                         row=P(DATA_AXIS), col=P(DATA_AXIS),
                         val=P(DATA_AXIS), n=self.op.n, axis=self.op.axis,
+                        n_true=self.op.n_true,
                     )
                 else:
                     op_specs = SparseOp(
                         row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
                         n=self.op.n, axis=self.op.axis,
                         gather_axis=self.op.gather_axis,
+                        n_true=self.op.n_true,
                     )
                 vec_spec = P(DATA_AXIS) if self.node_sharded else P()
                 self.extras = jax.jit(jax.shard_map(
@@ -466,7 +471,7 @@ class SparseCitationRunner:
         max_epoch = int(tcfg.get("max_epoch", 200))
         patience = int(tcfg.get("patience", 50))
         display = int(tcfg.get("display_iter", 20))
-        snapshot_every = int(tcfg.get("snapshot_epoch", 50))
+        snapshot_every = max(1, int(tcfg.get("snapshot_epoch", 50)))
         best_val, best_epoch = -1.0, -1
         epoch = 0
         if tcfg.get("is_resume") and self.ckpt.exists("latest"):

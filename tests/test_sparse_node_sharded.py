@@ -103,8 +103,9 @@ def _setup(name, mesh):
     op = kind(g["edges"], n)
     sop, n_pad = node_shard_sparse_op(op, mesh)
     # unsharded reference on the zero-padded graph: pad nodes are
-    # isolated, so real-node logits are untouched
-    ref_op = kind(g["edges"], n_pad)
+    # isolated, so real-node logits are untouched; n_true keeps the
+    # Lanczos start vector off the pad rows exactly like the sharded op
+    ref_op = kind(g["edges"], n_pad).replace(n_true=n)
     x = _pad(g["features"], n_pad)
     xs = shard_node_array(g["features"], mesh, n_pad)
     return op, ref_op, sop, n_pad, x, xs, g
@@ -149,16 +150,26 @@ def test_node_sharded_lanczos_ritz_matches_unsharded():
     sop, n_pad = node_shard_sparse_op(op, mesh)
     op_specs = SparseOp(
         row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=sop.n, gather_axis=DATA_AXIS,
+        n=sop.n, gather_axis=DATA_AXIS, n_true=sop.n_true,
     )
     k = 8
     rv, rvec = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
         mesh=mesh, in_specs=(op_specs,), out_specs=(P(), P(DATA_AXIS)),
     ))(sop)
-    rv0, rvec0 = sparse_lanczos_ritz(sparse_sym_operator(g["edges"], n_pad), k)
+    rv0, rvec0 = sparse_lanczos_ritz(
+        sparse_sym_operator(g["edges"], n_pad).replace(n_true=n), k
+    )
     np.testing.assert_allclose(np.asarray(rv), np.asarray(rv0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rvec), np.asarray(rvec0), atol=1e-4)
+    # device-count invariance (the point of n_true): the sharded Ritz
+    # pairs equal the UNPADDED single-device ones on the real rows
+    rv_t, rvec_t = sparse_lanczos_ritz(op, k)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(rv_t), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rvec)[:n], np.asarray(rvec_t), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(rvec)[n:], 0.0, atol=1e-6)
 
 
 def test_node_sharded_lanczosnet_with_sharded_ritz():
@@ -174,7 +185,7 @@ def test_node_sharded_lanczosnet_with_sharded_ritz():
 
     op_specs = SparseOp(
         row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=sop.n, gather_axis=DATA_AXIS,
+        n=sop.n, gather_axis=DATA_AXIS, n_true=sop.n_true,
     )
     rv, rvec = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
@@ -267,9 +278,10 @@ def test_node_sharded_state_is_actually_sharded():
     assert sop.row.addressable_shards[0].data.shape[0] * 8 == sop.row.shape[0]
 
 
-RING_MODELS = {
-    k: v for k, v in MODELS.items() if k not in ("gat", "ada_lanczosnet")
-}
+# all nine families ride the ring: spmv ones directly, GAT via the
+# online-softmax ring, AdaLanczosNet via per-(dst,src)-slice kernel
+# evaluation (VERDICT r2 item 2 — the carve-out is gone)
+RING_MODELS = MODELS
 
 
 @pytest.mark.parametrize("name", sorted(RING_MODELS))
@@ -288,7 +300,7 @@ def test_ring_forward_and_grads_match_single_device(name):
     )
     op = kind(g["edges"], n)
     rop, n_pad = ring_shard_sparse_op(op, mesh)
-    ref_op = kind(g["edges"], n_pad)
+    ref_op = kind(g["edges"], n_pad).replace(n_true=n)
     x = _pad(g["features"], n_pad)
     xs = shard_node_array(g["features"], mesh, n_pad)
     model = RING_MODELS[name](NUM_CLASS)
@@ -329,14 +341,16 @@ def test_ring_lanczos_ritz_matches_unsharded():
     rop, n_pad = ring_shard_sparse_op(op, mesh)
     op_specs = RingOp(
         row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=rop.n, axis=DATA_AXIS,
+        n=rop.n, axis=DATA_AXIS, n_true=rop.n_true,
     )
     k = 8
     rv, rvec = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
         mesh=mesh, in_specs=(op_specs,), out_specs=(P(), P(DATA_AXIS)),
     ))(rop)
-    rv0, rvec0 = sparse_lanczos_ritz(sparse_sym_operator(g["edges"], n_pad), k)
+    rv0, rvec0 = sparse_lanczos_ritz(
+        sparse_sym_operator(g["edges"], n_pad).replace(n_true=n), k
+    )
     np.testing.assert_allclose(np.asarray(rv), np.asarray(rv0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rvec), np.asarray(rvec0), atol=1e-4)
 
@@ -383,7 +397,38 @@ def test_ring_runner_end_to_end_and_rejects_unsupported():
     ).train()
     assert np.isfinite(res["best_val_acc"])
 
-    with pytest.raises(ValueError, match="nodes_ring"):
-        SparseCitationRunner(
-            cfg_for({"name": "GAT", "hidden_dim": [16]})
-        )
+    # the formerly-rejected gather-bound family trains on the ring now
+    res = SparseCitationRunner(
+        cfg_for({"name": "GAT", "hidden_dim": [16], "num_head": 2,
+                 "dropout": 0.1})
+    ).train()
+    assert np.isfinite(res["best_val_acc"])
+
+
+def test_ring_gpnn_with_sharded_partition():
+    from lanczosnet_tpu.parallel.mesh import ring_shard_sparse_op
+
+    mesh = require_mesh()
+    g = small_graph()
+    n = g["features"].shape[0]
+    op = sparse_sym_operator(g["edges"], n)
+    rop, n_pad = ring_shard_sparse_op(op, mesh)
+    ref_op = sparse_sym_operator(g["edges"], n_pad).replace(n_true=n)
+    x = _pad(g["features"], n_pad)
+    xs = shard_node_array(g["features"], mesh, n_pad)
+    part = sparse_spectral_partition(op, 2)
+    part_pad = _pad(jnp.asarray(part, jnp.int32), n_pad)
+    parts = shard_node_array(np.asarray(part, np.int32), mesh, n_pad)
+    model = SparseGPNN(
+        hidden_dim=(16,), num_class=NUM_CLASS,
+        num_prop=1, num_intra_prop=1, num_cut_prop=1, dropout=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0), x, ref_op, part_pad)["params"]
+    ref = model.apply({"params": params}, x, ref_op, part_pad)
+    out = sharded_sparse_apply(
+        mesh, model, params, xs, rop,
+        extras=(parts,), extra_specs=(P(DATA_AXIS),),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
