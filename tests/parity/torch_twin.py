@@ -597,3 +597,161 @@ class TorchGPNN(nn.Module):
         pred = self.readout(h, mask)
         inter["pred"] = pred
         return pred, inter
+
+
+class _SimpleConvBase(nn.Module):
+    """Shared skeleton of the four 'easy' reference models (GCN /
+    ChebyNet / DCNN / GraphSAGE, SURVEY.md §2.5): atom embedding ⊕
+    continuous features → per-layer propagation features → Linear →
+    nonlinearity → mask → gated-attention readout. Subclasses provide
+    the per-layer feature list and the post-Linear activation."""
+
+    def __init__(
+        self,
+        num_atom: int,
+        embed_dim: int,
+        hidden_dim: Sequence[int],
+        num_task: int,
+        feats_per_input: int,
+        num_ops: int = 3,
+        node_feat_dim: int = 0,
+        output_hidden_dim: Sequence[int] = (),
+    ):
+        super().__init__()
+        self.num_ops = num_ops
+        self.atom_embed = nn.Embedding(num_atom, embed_dim)
+        f_in = embed_dim + node_feat_dim
+        self.layers = nn.ModuleList()
+        for dim in hidden_dim:
+            self.layers.append(nn.Linear(f_in * feats_per_input, dim))
+            f_in = dim
+        self.readout = AttentionReadoutT(f_in, num_task, output_hidden_dim)
+
+    def _encode(self, batch: dict) -> Tensor:
+        h = self.atom_embed(batch["atom_type"])
+        if batch.get("node_feat") is not None and batch["node_feat"].shape[-1] > 0:
+            h = torch.cat([h, batch["node_feat"]], dim=-1)
+        return h * batch["mask"].unsqueeze(-1)
+
+    def _layer_feats(self, batch: dict, h: Tensor) -> List[Tensor]:
+        raise NotImplementedError
+
+    def _activate(self, z: Tensor) -> Tensor:
+        return torch.relu(z)
+
+    def forward(self, batch: dict) -> Tuple[Tensor, Dict[str, Tensor]]:
+        inter: Dict[str, Tensor] = {}
+        mask = batch["mask"]
+        h = self._encode(batch)
+        inter["encoder"] = h
+        for li, lin in enumerate(self.layers):
+            z = lin(torch.cat(self._layer_feats(batch, h), dim=-1))
+            inter[f"layer_{li}"] = z
+            h = self._activate(z) * mask.unsqueeze(-1)
+        pred = self.readout(h, mask)
+        inter["pred"] = pred
+        return pred, inter
+
+
+class TorchGCN(_SimpleConvBase):
+    """Eager-torch GCN (`[R] model/gcn.py`): per layer, self state concat
+    one-hop propagation through every operator channel, Linear, ReLU."""
+
+    def __init__(self, num_atom, embed_dim, hidden_dim, num_task,
+                 num_ops=3, node_feat_dim=0, output_hidden_dim=()):
+        super().__init__(
+            num_atom, embed_dim, hidden_dim, num_task,
+            feats_per_input=1 + num_ops, num_ops=num_ops,
+            node_feat_dim=node_feat_dim, output_hidden_dim=output_hidden_dim,
+        )
+
+    def _layer_feats(self, batch, h):
+        ops = batch["ops"]
+        return [h] + [torch.bmm(ops[:, e], h) for e in range(ops.shape[1])]
+
+
+class TorchChebyNet(_SimpleConvBase):
+    """Eager-torch ChebyNet (`[R] model/chebynet.py`): per operator
+    channel the Chebyshev features ``T_0 h .. T_P h`` with the eager
+    recurrence ``T_k = 2 S T_{k-1} − T_{k-2}`` (T_0 = h)."""
+
+    def __init__(self, num_atom, embed_dim, hidden_dim, num_task,
+                 poly_order=3, num_ops=3, node_feat_dim=0,
+                 output_hidden_dim=()):
+        self.poly_order = poly_order
+        super().__init__(
+            num_atom, embed_dim, hidden_dim, num_task,
+            feats_per_input=num_ops * (poly_order + 1), num_ops=num_ops,
+            node_feat_dim=node_feat_dim, output_hidden_dim=output_hidden_dim,
+        )
+
+    def _layer_feats(self, batch, h):
+        ops = batch["ops"]
+        parts = []
+        for e in range(ops.shape[1]):
+            t_prev, t_cur = h, torch.bmm(ops[:, e], h)
+            parts.append(t_prev)
+            if self.poly_order >= 1:
+                parts.append(t_cur)
+            for _ in range(self.poly_order - 1):
+                t_prev, t_cur = t_cur, 2.0 * torch.bmm(ops[:, e], t_cur) - t_prev
+                parts.append(t_cur)
+        return parts
+
+
+class TorchDCNN(_SimpleConvBase):
+    """Eager-torch DCNN (`[R] model/dcnn.py`): self state concat the
+    hop features ``P h .. P^H h`` of every operator channel (eager
+    power loop)."""
+
+    def __init__(self, num_atom, embed_dim, hidden_dim, num_task,
+                 max_hop=3, num_ops=3, node_feat_dim=0,
+                 output_hidden_dim=()):
+        self.max_hop = max_hop
+        super().__init__(
+            num_atom, embed_dim, hidden_dim, num_task,
+            feats_per_input=1 + num_ops * max_hop, num_ops=num_ops,
+            node_feat_dim=node_feat_dim, output_hidden_dim=output_hidden_dim,
+        )
+
+    def _layer_feats(self, batch, h):
+        ops = batch["ops"]
+        parts = [h]
+        for e in range(ops.shape[1]):
+            cur = h
+            for _ in range(self.max_hop):
+                cur = torch.bmm(ops[:, e], cur)
+                parts.append(cur)
+        return parts
+
+
+class TorchGraphSAGE(_SimpleConvBase):
+    """Eager-torch GraphSAGE (`[R] model/graph_sage.py`): exact neighbor
+    mean over each channel's support (recomputed from the operator, so
+    independent of its normalization), concat self, Linear, ReLU,
+    L2-normalize."""
+
+    def __init__(self, num_atom, embed_dim, hidden_dim, num_task,
+                 num_ops=3, node_feat_dim=0, output_hidden_dim=()):
+        super().__init__(
+            num_atom, embed_dim, hidden_dim, num_task,
+            feats_per_input=1 + num_ops, num_ops=num_ops,
+            node_feat_dim=node_feat_dim, output_hidden_dim=output_hidden_dim,
+        )
+
+    def _layer_feats(self, batch, h):
+        ops = batch["ops"]
+        mask = batch["mask"]
+        support = (ops > 0).float() * (
+            mask.unsqueeze(-1) * mask.unsqueeze(-2)
+        ).unsqueeze(1)
+        deg = support.sum(-1, keepdim=True)
+        mean_op = support / deg.clamp_min(1.0)
+        return [h] + [
+            torch.bmm(mean_op[:, e], h) for e in range(ops.shape[1])
+        ]
+
+    def _activate(self, z):
+        h = torch.relu(z)
+        norm = torch.sqrt((h * h).sum(-1, keepdim=True).clamp_min(1e-12))
+        return h / norm

@@ -114,3 +114,15 @@ def load_gpnn(tmodel, params: dict, num_layers: int, schedule) -> None:
                     _linear(tmodel.carry[f"{li}_{p}_{c}"],
                             params[f"carry_{li}_{p}_{c}"])
     _readout(tmodel.readout, params["AttentionReadout_0"])
+
+
+def load_simple_conv(tmodel, params: dict, num_layers: int) -> None:
+    """Copy flax GCN / ChebyNet / DCNN / GraphSAGE params into their
+    torch twins (shared skeleton: atom embedding, per-layer Dense,
+    attention readout)."""
+    tmodel.atom_embed.weight.data = torch.from_numpy(
+        np.asarray(params["NodeEncoder_0"]["atom_embed"]["embedding"]).copy()
+    )
+    for li in range(num_layers):
+        _linear(tmodel.layers[li], params[f"layer_{li}"])
+    _readout(tmodel.readout, params["AttentionReadout_0"])

@@ -378,3 +378,82 @@ def test_gpnn_subgraph_schedule_parity():
     with torch.no_grad():
         tpred, tinter = tmodel(_to_torch_batch(batch))
     _cmp("pred", tpred, fpred, 1e-4)
+
+
+def _simple_parity_case(flax_cls, torch_cls, seed, flax_kwargs=None,
+                        torch_kwargs=None, atol=1e-5):
+    """Shared driver for the four 'easy' twins (GCN / ChebyNet / DCNN /
+    GraphSAGE): init flax params, copy into the torch twin, diff
+    encoder / per-layer Dense outputs / prediction (VERDICT r2 item 4 —
+    the whole README table is parity-ready, not just the hard half)."""
+    from parity.transfer import load_simple_conv
+
+    rng = np.random.default_rng(seed)
+    batch = make_batch(rng, num=3, n_max=12)
+    fc = batch.node_feat.shape[-1]
+    hidden = (16, 12)
+    model = flax_cls(
+        num_atom=8, embed_dim=10, hidden_dim=hidden, num_task=NUM_TASK,
+        output_hidden_dim=OUT_HIDDEN, **(flax_kwargs or {}),
+    )
+    params = model.init(jax.random.PRNGKey(seed), batch, deterministic=True)[
+        "params"
+    ]
+    tmodel = torch_cls(
+        num_atom=8, embed_dim=10, hidden_dim=hidden, num_task=NUM_TASK,
+        num_ops=NUM_EDGE + 1, node_feat_dim=fc,
+        output_hidden_dim=OUT_HIDDEN, **(torch_kwargs or {}),
+    )
+    load_simple_conv(tmodel, params, len(hidden))
+
+    fpred, inter = _flax_intermediates(model, params, batch)
+    with torch.no_grad():
+        tpred, tinter = tmodel(_to_torch_batch(batch))
+    _cmp("encoder", tinter["encoder"], inter["NodeEncoder_0"]["__call__"][0], atol)
+    for li in range(len(hidden)):
+        _cmp(
+            f"layer_{li}",
+            tinter[f"layer_{li}"],
+            inter[f"layer_{li}"]["__call__"][0],
+            atol,
+        )
+    _cmp("pred", tpred, fpred, atol)
+    # negative control: perturb one layer kernel — parity must break
+    with torch.no_grad():
+        tmodel.layers[0].weight += 1e-2
+        tpred2, _ = tmodel(_to_torch_batch(batch))
+    assert np.abs(tpred2.numpy() - np.asarray(fpred)).max() > atol
+
+
+def test_gcn_activation_parity():
+    from lanczosnet_tpu.models.gcn import GCN
+    from parity.torch_twin import TorchGCN
+
+    _simple_parity_case(GCN, TorchGCN, seed=21)
+
+
+def test_chebynet_activation_parity():
+    from lanczosnet_tpu.models.chebynet import ChebyNet
+    from parity.torch_twin import TorchChebyNet
+
+    _simple_parity_case(
+        ChebyNet, TorchChebyNet, seed=22,
+        flax_kwargs={"poly_order": 3}, torch_kwargs={"poly_order": 3},
+    )
+
+
+def test_dcnn_activation_parity():
+    from lanczosnet_tpu.models.dcnn import DCNN
+    from parity.torch_twin import TorchDCNN
+
+    _simple_parity_case(
+        DCNN, TorchDCNN, seed=23,
+        flax_kwargs={"max_hop": 3}, torch_kwargs={"max_hop": 3},
+    )
+
+
+def test_graph_sage_activation_parity():
+    from lanczosnet_tpu.models.graph_sage import GraphSAGE
+    from parity.torch_twin import TorchGraphSAGE
+
+    _simple_parity_case(GraphSAGE, TorchGraphSAGE, seed=24)
