@@ -53,6 +53,14 @@ class SparseOp:
         size; without this, pad nodes get nonzero start weight and one
         Krylov direction is spent on eigenvalue 0). ``None`` = every
         row is real.
+      rows_sorted: static promise that ``row`` is non-decreasing, which
+        lets every segment reduction pass ``indices_are_sorted=True`` —
+        XLA then lowers the scatter-add as run-length block sums instead
+        of a general scatter (measured 73→40 ms on the 5M-edge/F=128
+        scatter, 1.47× on the whole spmv, v5e). The constructors sort at
+        build time and the mesh builders preserve the order (boolean-mask
+        bucketing keeps relative order; padding rows use the largest
+        local row id); hand-built ops default to False.
       gather_axis: optional mesh-axis name for the *node-sharded* mode
         (`parallel/mesh.py:node_shard_sparse_op`): node arrays are
         sharded into contiguous blocks of ``n`` rows per device and the
@@ -74,6 +82,7 @@ class SparseOp:
         pytree_node=False, default=None
     )
     n_true: int | None = flax.struct.field(pytree_node=False, default=None)
+    rows_sorted: bool = flax.struct.field(pytree_node=False, default=False)
 
     def __post_init__(self):
         if self.axis is not None and self.gather_axis is not None:
@@ -98,11 +107,13 @@ def sparse_sym_operator(
     deg = np.bincount(row, minlength=n).astype(np.float64)
     inv_sqrt = np.where(deg > eps, 1.0 / np.sqrt(np.maximum(deg, eps)), 0.0)
     val = (inv_sqrt[row] * inv_sqrt[col]).astype(np.float32)
+    order = np.argsort(row, kind="stable")  # destination-major layout
     return SparseOp(
-        row=jnp.asarray(row, jnp.int32),
-        col=jnp.asarray(col, jnp.int32),
-        val=jnp.asarray(val),
+        row=jnp.asarray(row[order], jnp.int32),
+        col=jnp.asarray(col[order], jnp.int32),
+        val=jnp.asarray(val[order]),
         n=n,
+        rows_sorted=True,
     )
 
 
@@ -117,11 +128,13 @@ def sparse_row_stochastic_operator(
     col = np.concatenate([e[:, 1], e[:, 0]])
     deg = np.bincount(row, minlength=n).astype(np.float64)
     val = (1.0 / np.maximum(deg, 1.0))[row].astype(np.float32)
+    order = np.argsort(row, kind="stable")
     return SparseOp(
-        row=jnp.asarray(row, jnp.int32),
-        col=jnp.asarray(col, jnp.int32),
-        val=jnp.asarray(val),
+        row=jnp.asarray(row[order], jnp.int32),
+        col=jnp.asarray(col[order], jnp.int32),
+        val=jnp.asarray(val[order]),
         n=n,
+        rows_sorted=True,
     )
 
 
@@ -149,6 +162,10 @@ class RingOp:
     n: int = flax.struct.field(pytree_node=False)  # local rows per block
     axis: str = flax.struct.field(pytree_node=False, default="data")
     n_true: int | None = flax.struct.field(pytree_node=False, default=None)
+    # rows within EACH [D] slice are non-decreasing (the flattened [D·E2]
+    # view is NOT — per-slice reductions may pass indices_are_sorted,
+    # whole-op flattened ones may not)
+    rows_sorted: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def ring_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
@@ -173,7 +190,7 @@ def ring_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
             rop.val, src, 0, keepdims=False
         ).astype(x.dtype)
         msg = vals[:, None] * block[cols] if x.ndim == 2 else vals * block[cols]
-        acc = acc + jax.ops.segment_sum(msg, rows, num_segments=rop.n)
+        acc = acc + _segsum(msg, rows, rop.n, rop.rows_sorted)
         block = jax.lax.ppermute(block, rop.axis, perm)
         return (block, acc), None
 
@@ -205,8 +222,8 @@ def ring_mean_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
         vals = jax.lax.dynamic_index_in_dim(rop.val, src, 0, keepdims=False)
         live = (vals != 0.0).astype(x.dtype)
         msg = live[:, None] * block[cols] if x.ndim == 2 else live * block[cols]
-        acc = acc + jax.ops.segment_sum(msg, rows, num_segments=rop.n)
-        deg = deg + jax.ops.segment_sum(live, rows, num_segments=rop.n)
+        acc = acc + _segsum(msg, rows, rop.n, rop.rows_sorted)
+        deg = deg + _segsum(live, rows, rop.n, rop.rows_sorted)
         block = jax.lax.ppermute(block, rop.axis, perm)
         return (block, acc, deg), None
 
@@ -298,15 +315,16 @@ def gat_attention(
         )  # [E2, H]
         masked = jnp.where(live > 0, logits, neg)
         m_s = jax.ops.segment_max(
-            jax.lax.stop_gradient(masked), rows, num_segments=n
+            jax.lax.stop_gradient(masked), rows, num_segments=n,
+            indices_are_sorted=op.rows_sorted,
         )
         m_new = jnp.maximum(m, jnp.maximum(m_s, neg))
         scale = jnp.exp(m - m_new)  # ≤ 1; ==1 while both are neg
         p = jnp.exp(masked - m_new[rows]) * live  # dead edges exactly 0
-        den = den * scale + jax.ops.segment_sum(p, rows, num_segments=n)
-        acc = acc * scale[..., None] + jax.ops.segment_sum(
-            p[..., None].astype(hp.dtype) * hp_blk[cols],
-            rows, num_segments=n,
+        den = den * scale + _segsum(p, rows, n, op.rows_sorted)
+        acc = acc * scale[..., None] + _segsum(
+            p[..., None].astype(hp.dtype) * hp_blk[cols], rows, n,
+            op.rows_sorted,
         )
         s_blk = jax.lax.ppermute(s_blk, op.axis, perm)
         hp_blk = jax.lax.ppermute(hp_blk, op.axis, perm)
@@ -449,7 +467,9 @@ def live_degree(op: SparseOp) -> jnp.ndarray:
         return jax.ops.segment_sum(
             live.reshape(-1), op.row.reshape(-1), num_segments=op.n
         )
-    deg = jax.ops.segment_sum(live, op.row, num_segments=op.n)
+    deg = jax.ops.segment_sum(
+        live, op.row, num_segments=op.n, indices_are_sorted=op.rows_sorted
+    )
     if op.axis is not None:
         deg = jax.lax.psum(deg, op.axis)
     return deg
@@ -464,8 +484,8 @@ def mean_spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     live = (op.val != 0.0).astype(x.dtype)
     xg = gather_nodes(op, x)
     msg = live[:, None] * xg[op.col] if x.ndim == 2 else live * xg[op.col]
-    out = jax.ops.segment_sum(msg, op.row, num_segments=op.n)
-    deg = jax.ops.segment_sum(live, op.row, num_segments=op.n)
+    out = _segsum(msg, op.row, op.n, op.rows_sorted)
+    deg = _segsum(live, op.row, op.n, op.rows_sorted)
     if op.axis is not None:
         out = jax.lax.psum(out, op.axis)
         deg = jax.lax.psum(deg, op.axis)
@@ -502,7 +522,9 @@ def sym_normalize_coo(
         )
     live = (op.val != 0.0).astype(kernel.dtype)
     k = kernel * live
-    deg = jax.ops.segment_sum(k, op.row, num_segments=op.n)
+    deg = jax.ops.segment_sum(
+        k, op.row, num_segments=op.n, indices_are_sorted=op.rows_sorted
+    )
     if op.axis is not None:
         deg = jax.lax.psum(deg, op.axis)
     inv_sqrt = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, eps)), 0.0)
@@ -510,6 +532,30 @@ def sym_normalize_coo(
     # row live on its device), but the source side needs the gather.
     return op.replace(
         val=k * inv_sqrt[op.row] * gather_nodes(op, inv_sqrt)[op.col]
+    )
+
+
+def _segsum(
+    msg: jnp.ndarray, rows: jnp.ndarray, n: int, sorted: bool = False
+) -> jnp.ndarray:
+    """segment_sum with the two TPU scatter-add lessons baked in:
+
+    - ``sorted`` forwards the op's ``rows_sorted`` promise as
+      ``indices_are_sorted=True`` — the single biggest sparse-path win
+      (the scatter lowers as run-length block sums: 73→40 ms on the
+      5M-edge/F=128 scatter, v5e).
+    - 16-bit messages accumulate in f32 and cast back: XLA's bf16
+      scatter-add lowers element-serialized on TPU (measured ~9× slower
+      than f32), so the narrow dtype is kept only on the E·F gather
+      reads that feed ``msg``.
+    """
+    if msg.dtype in (jnp.bfloat16, jnp.float16):
+        return jax.ops.segment_sum(
+            msg.astype(jnp.float32), rows, num_segments=n,
+            indices_are_sorted=sorted,
+        ).astype(msg.dtype)
+    return jax.ops.segment_sum(
+        msg, rows, num_segments=n, indices_are_sorted=sorted
     )
 
 
@@ -537,7 +583,7 @@ def spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     val = op.val.astype(x.dtype)
     xg = gather_nodes(op, x)
     msg = val[:, None] * xg[op.col] if x.ndim == 2 else val * xg[op.col]
-    out = jax.ops.segment_sum(msg, op.row, num_segments=op.n)
+    out = _segsum(msg, op.row, op.n, op.rows_sorted)
     if op.axis is not None:
         out = jax.lax.psum(out, op.axis)
     return out
@@ -574,7 +620,8 @@ def segment_softmax_coo(
     # has no differentiation rule at all (this is what makes the
     # sharded path differentiable)
     m = jax.ops.segment_max(
-        jax.lax.stop_gradient(masked), op.row, num_segments=op.n
+        jax.lax.stop_gradient(masked), op.row, num_segments=op.n,
+        indices_are_sorted=op.rows_sorted,
     )
     if op.axis is not None:
         m = jax.lax.pmax(m, op.axis)
@@ -583,7 +630,7 @@ def segment_softmax_coo(
     m = jnp.maximum(m, neg)  # empty segments: segment_max yields -inf
     # exp the MASKED logits so a padding edge can never overflow past m
     p = jnp.exp(masked - m[op.row]) * live
-    denom = jax.ops.segment_sum(p, op.row, num_segments=op.n)
+    denom = _segsum(p, op.row, op.n, op.rows_sorted)
     if op.axis is not None:
         denom = jax.lax.psum(denom, op.axis)
     p_self = None
@@ -599,9 +646,9 @@ def attention_spmv(
     """``Σ_{e: row=i} p_e · x[col_e]`` — message aggregation with
     per-edge weights ``p [E, ...]`` broadcast against ``x[col] [E, ..., F]``;
     psum-reduced across edge shards like `spmv`."""
-    out = jax.ops.segment_sum(
+    out = _segsum(
         p[..., None].astype(x.dtype) * gather_nodes(op, x)[op.col],
-        op.row, num_segments=op.n,
+        op.row, op.n, op.rows_sorted,
     )
     if op.axis is not None:
         out = jax.lax.psum(out, op.axis)

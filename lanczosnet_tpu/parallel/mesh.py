@@ -27,6 +27,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from lanczosnet_tpu.parallel.multihost import global_put
+
 DATA_AXIS = "data"
 
 
@@ -56,7 +58,7 @@ def shard_batch(batch, mesh: Mesh):
     whole pytree. Batch size must divide the mesh size.
     """
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(lambda x: global_put(x, s), batch)
 
 
 def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
@@ -79,16 +81,24 @@ def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
     if pad:
         import jax.numpy as jnp
 
-        row = jnp.concatenate([row, jnp.zeros((pad,), row.dtype)])
+        # pad rows with the LAST segment id (not 0): the trailing pad
+        # edges then keep the final shard non-decreasing, so the base
+        # op's rows_sorted promise survives sharding (each shard is a
+        # contiguous slice of the sorted edge list). val=0 keeps them
+        # dead either way.
+        row = jnp.concatenate(
+            [row, jnp.full((pad,), op.n - 1, row.dtype)]
+        )
         col = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
         val = jnp.concatenate([val, jnp.zeros((pad,), val.dtype)])
     sh = NamedSharding(mesh, P(axis))
     return SparseOp(
-        row=jax.device_put(row, sh),
-        col=jax.device_put(col, sh),
-        val=jax.device_put(val, sh),
+        row=global_put(row, sh),
+        col=global_put(col, sh),
+        val=global_put(val, sh),
         n=op.n,
         axis=axis,
+        rows_sorted=op.rows_sorted,
     )
 
 
@@ -132,7 +142,10 @@ def node_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
     dev = row // n_loc
     counts = np.bincount(dev, minlength=ndev)
     e_max = max(int(counts.max()), 1)
-    r = np.zeros((ndev, e_max), np.int32)
+    # pad rows use the last local row id so that a rows_sorted input op
+    # stays non-decreasing per device (boolean-mask bucketing preserves
+    # relative order; the block-local renumber subtracts a constant)
+    r = np.full((ndev, e_max), n_loc - 1, np.int32)
     c = np.zeros((ndev, e_max), np.int32)
     v = np.zeros((ndev, e_max), np.float32)
     for d in range(ndev):
@@ -143,15 +156,16 @@ def node_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
         v[d, :k] = val[sel]
     sh = NamedSharding(mesh, P(axis))
     sharded = SparseOp(
-        row=jax.device_put(jnp.asarray(r.reshape(-1)), sh),
-        col=jax.device_put(jnp.asarray(c.reshape(-1)), sh),
-        val=jax.device_put(jnp.asarray(v.reshape(-1)), sh),
+        row=global_put(jnp.asarray(r.reshape(-1)), sh),
+        col=global_put(jnp.asarray(c.reshape(-1)), sh),
+        val=global_put(jnp.asarray(v.reshape(-1)), sh),
         n=n_loc,
         gather_axis=axis,
         # the input op's node count is the true one; padding to n_pad
         # is this function's doing — record it so the sharded Lanczos
         # start vector stays device-count-invariant
         n_true=op.n_true if op.n_true is not None else op.n,
+        rows_sorted=op.rows_sorted,
     )
     return sharded, n_pad
 
@@ -187,7 +201,9 @@ def ring_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
         for s in range(ndev):
             counts[d, s] = int(((dst == d) & (src == s)).sum())
     e_max = max(int(counts.max()), 1)
-    r = np.zeros((ndev, ndev, e_max), np.int32)
+    # as in node_shard_sparse_op: pad rows keep each (dst, src) slice
+    # non-decreasing so RingOp.rows_sorted holds per slice
+    r = np.full((ndev, ndev, e_max), n_loc - 1, np.int32)
     c = np.zeros((ndev, ndev, e_max), np.int32)
     v = np.zeros((ndev, ndev, e_max), np.float32)
     for d in range(ndev):
@@ -199,12 +215,13 @@ def ring_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
             v[d, s, :k] = val[sel]
     sh = NamedSharding(mesh, P(axis))
     sharded = RingOp(
-        row=jax.device_put(jnp.asarray(r.reshape(ndev * ndev, e_max)), sh),
-        col=jax.device_put(jnp.asarray(c.reshape(ndev * ndev, e_max)), sh),
-        val=jax.device_put(jnp.asarray(v.reshape(ndev * ndev, e_max)), sh),
+        row=global_put(jnp.asarray(r.reshape(ndev * ndev, e_max)), sh),
+        col=global_put(jnp.asarray(c.reshape(ndev * ndev, e_max)), sh),
+        val=global_put(jnp.asarray(v.reshape(ndev * ndev, e_max)), sh),
         n=n_loc,
         axis=axis,
         n_true=op.n_true if op.n_true is not None else op.n,
+        rows_sorted=op.rows_sorted,
     )
     return sharded, n_pad
 
@@ -220,7 +237,7 @@ def shard_node_array(x, mesh: Mesh, n_pad: int, axis: str = DATA_AXIS):
         x = jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
         )
-    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+    return global_put(x, NamedSharding(mesh, P(axis)))
 
 
 def shard_full_graph(batch, mesh: Mesh, n_pad: int):
@@ -243,5 +260,5 @@ def shard_full_graph(batch, mesh: Mesh, n_pad: int):
         return P()
 
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec(x))), batch
+        lambda x: global_put(x, NamedSharding(mesh, spec(x))), batch
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import numpy as np
 
 from lanczosnet_tpu.utils.logger import get_logger
 
@@ -48,3 +49,32 @@ def initialize(
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0
+
+
+def barrier(tag: str = "barrier") -> None:
+    """Block until every process reaches this point (no-op when
+    single-process). Needed wherever one process consumes a file another
+    wrote — e.g. the end-of-training best-checkpoint restore: the
+    primary's final `Checkpointer.save` is host-side work the jit
+    collectives do NOT order against other hosts' file reads."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def global_put(x, sharding):
+    """`jax.device_put` that also works when `sharding` spans processes.
+
+    Single-process: exactly `device_put`. Multi-process: every process
+    holds the FULL host array (the construction-time convention — graph
+    building is deterministic and replicated), and each materializes
+    only its addressable shards via `make_array_from_callback`, yielding
+    one global jax.Array over the whole mesh. This is what lets the
+    mesh builders in `parallel/mesh.py` run unchanged on a multi-host
+    mesh (tests/test_multihost.py trains through them with 2 processes).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])

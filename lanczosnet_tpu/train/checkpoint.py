@@ -30,7 +30,16 @@ class Checkpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
 
     def save(self, tag: str, state: Any, meta: Optional[dict] = None) -> Path:
-        """Atomically write `state` (any pytree) under `tag`."""
+        """Atomically write `state` (any pytree) under `tag`.
+
+        Multi-host: only process 0 writes (the run dir is shared, and
+        the state's arrays are replicated so one copy suffices); other
+        processes return the would-be path untouched. Readers that race
+        a writer must fence with `parallel.multihost.barrier()` — the
+        runners do before their end-of-training best restore.
+        """
+        if jax.process_index() != 0:
+            return self.dir / f"{tag}.msgpack"
         host_state = jax.device_get(state)
         payload = flax.serialization.msgpack_serialize(
             flax.serialization.to_state_dict(host_state)

@@ -25,6 +25,7 @@ from lanczosnet_tpu.data.citation import (
 )
 from lanczosnet_tpu.models import build_model
 from lanczosnet_tpu.parallel.mesh import make_mesh, replicate_sharding, shard_full_graph
+from lanczosnet_tpu.parallel import multihost
 from lanczosnet_tpu.train.checkpoint import Checkpointer
 from lanczosnet_tpu.train.node_step import make_node_eval_step, make_node_train_step
 from lanczosnet_tpu.utils.profiling import program_cost
@@ -159,6 +160,7 @@ class CitationRunner:
                 break
         wall = time.perf_counter() - t0
 
+        multihost.barrier("restore_best")
         state = self.ckpt.restore("best", state)
         c, n, _ = eval_step(state.params, self.batch, self.splits["test"])
         test_acc = float(c) / max(float(n), 1.0)

@@ -29,6 +29,7 @@ from lanczosnet_tpu.data.loader import BatchLoader, prefetch_to_device
 from lanczosnet_tpu.data.qm8 import import_reference_pickles, synthetic_qm8_graphs
 from lanczosnet_tpu.models import build_model
 from lanczosnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from lanczosnet_tpu.parallel import multihost
 from lanczosnet_tpu.train.checkpoint import Checkpointer
 from lanczosnet_tpu.train.optim import build_optimizer
 from lanczosnet_tpu.train.scan_epoch import (
@@ -508,6 +509,7 @@ class QM8Runner:
 
         test_mae = None
         if self.ckpt.exists("best"):
+            multihost.barrier("restore_best")
             state = self.ckpt.restore("best", state)
             test_mae = float(eval_split(state.params, "test").mean())
             self.log.info("best val %.6f | test MAE %.6f", best_val, test_mae)
@@ -616,6 +618,7 @@ class QM8Runner:
 
         test_mae = None
         if self.ckpt.exists("best"):
+            multihost.barrier("restore_best")
             state = self.ckpt.restore("best", state)
             test_mae = float(self._evaluate(eval_step, state.params, "test").mean())
             self.log.info("best val %.6f | test MAE %.6f", best_val, test_mae)

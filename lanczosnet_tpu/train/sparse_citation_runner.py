@@ -51,11 +51,11 @@ from lanczosnet_tpu.models.sparse_nodes import (
 )
 from lanczosnet_tpu.ops.sparse import (
     RingOp,
-    SparseOp,
     sparse_lanczos_ritz,
     sparse_row_stochastic_operator,
     sparse_sym_operator,
 )
+from lanczosnet_tpu.parallel import multihost
 from lanczosnet_tpu.parallel.mesh import (
     DATA_AXIS,
     make_mesh,
@@ -71,6 +71,17 @@ from lanczosnet_tpu.train.step import TrainState
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 from lanczosnet_tpu.utils.logger import MetricsLogger, get_logger
 from lanczosnet_tpu.utils.profiling import program_cost
+
+
+def _pad_rows(x, n_pad):
+    """Zero-pad axis 0 to ``n_pad`` (the unsharded twin of
+    `parallel.mesh.shard_node_array`)."""
+    pad = n_pad - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return x
 
 
 def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
@@ -95,17 +106,11 @@ def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
     """
     ring = isinstance(op, RingOp)
     node_mode = ring or op.gather_axis is not None
-    if ring:
-        op_specs = RingOp(
-            row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-            n=op.n, axis=op.axis, n_true=op.n_true,
-        )
-    else:
-        op_specs = SparseOp(
-            row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-            n=op.n, axis=op.axis, gather_axis=op.gather_axis,
-            n_true=op.n_true,
-        )
+    # spec tree via replace: static fields (n/axis/n_true/rows_sorted)
+    # are part of the treedef and must match the op's exactly
+    op_specs = op.replace(
+        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
+    )
     node_spec = P(DATA_AXIS) if node_mode else P()
     extras = tuple(extras) if extras is not None else ()
     if extra_specs is None:
@@ -221,7 +226,11 @@ class SparseCitationRunner:
                 else sparse_sym_operator
             )
             self.init_op = kind(edges, n_pad)
-            self.x = shard_node_array(self.x, self.mesh, n_pad)
+            # flax init must see PROCESS-LOCAL arrays on a multi-host
+            # mesh (it runs outside the sharded step); keep the padded
+            # unsharded view around
+            self.init_x = _pad_rows(self.x, n_pad)
+            self.x = shard_node_array(self.init_x, self.mesh, n_pad)
             self.labels = shard_node_array(self.labels, self.mesh, n_pad)
             self.splits = {
                 k: shard_node_array(v, self.mesh, n_pad)
@@ -231,11 +240,16 @@ class SparseCitationRunner:
             self.mesh = make_mesh(ndev)
             self.op = shard_sparse_op(self.op, self.mesh)
             rsh = replicate_sharding(self.mesh)
-            self.x = jax.device_put(self.x, rsh)
-            self.labels = jax.device_put(self.labels, rsh)
+            from lanczosnet_tpu.parallel.multihost import global_put
+
+            self.init_x = self.x
+            self.x = global_put(self.x, rsh)
+            self.labels = global_put(self.labels, rsh)
             self.splits = {
-                k: jax.device_put(v, rsh) for k, v in self.splits.items()
+                k: global_put(v, rsh) for k, v in self.splits.items()
             }
+        else:
+            self.init_x = self.x
 
         mcfg = dict(config.model)
         name = mcfg["name"]
@@ -252,6 +266,7 @@ class SparseCitationRunner:
         )
         self.extras = None
         self.extra_specs = None
+        self.init_extras = None  # process-local twin for flax init
         if name == "LanczosNet":
             k = int(mcfg.get("num_eig_vec", 20))
             if self.mesh is None:
@@ -261,19 +276,9 @@ class SparseCitationRunner:
                 # matvec callback is the sharded spmv (edge mode), or
                 # the node-block recursion with psum'd inner products
                 # (node mode, ritz_vec comes out node-sharded)
-                if isinstance(self.op, RingOp):
-                    op_specs = RingOp(
-                        row=P(DATA_AXIS), col=P(DATA_AXIS),
-                        val=P(DATA_AXIS), n=self.op.n, axis=self.op.axis,
-                        n_true=self.op.n_true,
-                    )
-                else:
-                    op_specs = SparseOp(
-                        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-                        n=self.op.n, axis=self.op.axis,
-                        gather_axis=self.op.gather_axis,
-                        n_true=self.op.n_true,
-                    )
+                op_specs = self.op.replace(
+                    row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
+                )
                 vec_spec = P(DATA_AXIS) if self.node_sharded else P()
                 self.extras = jax.jit(jax.shard_map(
                     lambda lop: sparse_lanczos_ritz(lop, k),
@@ -282,6 +287,10 @@ class SparseCitationRunner:
                     out_specs=(P(), vec_spec),
                 ))(self.op)
                 self.extra_specs = (P(), vec_spec)
+                if jax.process_count() > 1:
+                    # init can't mix global extras with local arrays —
+                    # recompute the Ritz pair unsharded from init_op
+                    self.init_extras = sparse_lanczos_ritz(self.init_op, k)
             self.model = SparseLanczosNet(
                 hidden_dim=hidden,
                 num_class=c,
@@ -347,6 +356,7 @@ class SparseCitationRunner:
                 int(mcfg.get("num_partition", 2)),
                 seed=int(config.seed),
             )
+            self.init_extras = (jnp.asarray(part, jnp.int32),)
             if self.node_sharded:
                 self.extras = (
                     shard_node_array(
@@ -377,8 +387,10 @@ class SparseCitationRunner:
             and self.extra_specs is None
         ):
             rsh = replicate_sharding(self.mesh)
+            from lanczosnet_tpu.parallel.multihost import global_put
+
             self.extras = tuple(
-                jax.device_put(e, rsh) for e in self.extras
+                global_put(e, rsh) for e in self.extras
             )
         self.log.info(
             "sparse citation runner: model=%s dataset=%s nodes=%d edges=%d "
@@ -387,17 +399,21 @@ class SparseCitationRunner:
             ndev,
         )
 
-    def _apply(self, params, deterministic, rngs=None):
+    def _apply(self, params, x, op, extras, deterministic, rngs=None):
+        """Forward pass; x/op/extras come in as ARGUMENTS, never captured
+        from self — jitted callers must pass global arrays explicitly
+        (closing over an array that spans non-addressable devices is an
+        error on a multi-host mesh)."""
         if self.mesh is not None:
             return sharded_sparse_apply(
-                self.mesh, self.model, params, self.x, self.op,
-                extras=self.extras, extra_specs=self.extra_specs,
+                self.mesh, self.model, params, x, op,
+                extras=extras, extra_specs=self.extra_specs,
                 deterministic=deterministic,
                 rng=None if rngs is None else rngs["dropout"],
             )
-        args = (self.x, self.op)
-        if self.extras is not None:
-            args = args + tuple(self.extras)
+        args = (x, op)
+        if extras is not None:
+            args = args + tuple(extras)
         return self.model.apply(
             {"params": params}, *args, deterministic=deterministic, rngs=rngs
         )
@@ -407,26 +423,43 @@ class SparseCitationRunner:
         tx, schedule = build_optimizer(tcfg, 1)
         rng = jax.random.PRNGKey(int(self.config.seed))
         p_rng, d_rng, s_rng = jax.random.split(rng, 3)
+        # flax init runs OUTSIDE the sharded step and (on a multi-host
+        # mesh) must not mix global arrays with local ones — it gets the
+        # process-local twins (init_x/init_op/init_extras); param values
+        # are data-independent so the twins yield identical params
+        init_extras = (
+            self.init_extras if self.init_extras is not None else self.extras
+        )
         params = self.model.init(
             {"params": p_rng, "dropout": d_rng},
-            self.x, self.init_op,
-            *(self.extras if self.extras is not None else ()),
+            self.init_x, self.init_op,
+            *(init_extras if init_extras is not None else ()),
             deterministic=True,
         )["params"]
         if self.mesh is not None:
-            params = jax.device_put(params, replicate_sharding(self.mesh))
+            from lanczosnet_tpu.parallel.multihost import global_put
+
+            params = jax.tree.map(
+                lambda a: global_put(a, replicate_sharding(self.mesh)),
+                params,
+            )
         state = TrainState(
             params=params, opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32), rng=s_rng,
         )
 
-        labels, splits = self.labels, self.splits
+        # everything a jitted step touches travels as ARGUMENTS — on a
+        # multi-host mesh a jit may not close over global arrays
+        data = (self.x, self.op, self.extras, self.labels, self.splits)
 
-        def step_body(state):
+        def step_body(state, data):
+            x, op, extras, labels, splits = data
             rng, dr = jax.random.split(state.rng)
 
             def loss_fn(p):
-                logits = self._apply(p, False, rngs={"dropout": dr})
+                logits = self._apply(
+                    p, x, op, extras, False, rngs={"dropout": dr}
+                )
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits.astype(jnp.float32), labels
                 )
@@ -456,14 +489,17 @@ class SparseCitationRunner:
         group_size = max(1, int(tcfg.get("valid_epoch", 1)))
 
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
-        def scanned_steps(state, n):
+        def scanned_steps(state, data, n):
             return jax.lax.scan(
-                lambda c, _: step_body(c), state, None, length=n
+                lambda c, _: step_body(c, data), state, None, length=n
             )
 
         @jax.jit
-        def accuracy(params, mask):
-            pred = jnp.argmax(self._apply(params, True), axis=-1)
+        def accuracy(params, data, mask):
+            x, op, extras, labels, _ = data
+            pred = jnp.argmax(
+                self._apply(params, x, op, extras, True), axis=-1
+            )
             return jnp.sum((pred == labels) * mask) / jnp.maximum(
                 jnp.sum(mask), 1.0
             )
@@ -493,22 +529,22 @@ class SparseCitationRunner:
         while epoch < max_epoch:
             group = min(group_size, max_epoch - epoch)
             if group == 1:
-                state, loss = train_step(state)
+                state, loss = train_step(state, data)
             else:
-                state, losses = scanned_steps(state, n=group)
+                state, losses = scanned_steps(state, data, n=group)
                 loss = losses[-1]
             if epoch == start_epoch and group == 1:
                 # free once the executable exists (reuses the jit cache
                 # entry); calling BEFORE the first step would pay the
                 # whole compile a second time through the AOT path
-                cost = program_cost(train_step, state)
+                cost = program_cost(train_step, state, data)
                 if cost:
                     self.log.info("sparse train-step program cost: %s", cost)
                     self.metrics.log(
                         "program_cost", program="train_step", **cost
                     )
             epoch += group
-            val_acc = float(accuracy(state.params, splits["val"]))
+            val_acc = float(accuracy(state.params, data, self.splits["val"]))
             if (epoch - group) % display < group:
                 self.log.info(
                     "epoch %d | train CE %.4f | val acc %.4f",
@@ -528,8 +564,11 @@ class SparseCitationRunner:
             if epoch - 1 - best_epoch > patience:
                 break
         wall = time.perf_counter() - t0
+        # multi-host: the primary may still be writing "best" from the
+        # final epoch while other processes reach this read
+        multihost.barrier("restore_best")
         state = self.ckpt.restore("best", state)
-        test_acc = float(accuracy(state.params, splits["test"]))
+        test_acc = float(accuracy(state.params, data, self.splits["test"]))
         self.log.info(
             "best val acc %.4f | test acc %.4f | %.1fs", best_val, test_acc, wall
         )

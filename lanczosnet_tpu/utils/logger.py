@@ -55,12 +55,19 @@ class MetricsLogger:
     def __init__(
         self, path: str | Path, tensorboard_dir: str | Path | None = None
     ):
+        # multi-host: the run dir is shared — exactly one writer, or the
+        # JSONL interleaves across processes
+        import jax
+
+        self._primary = jax.process_index() == 0
         self.path = Path(path)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.path, "a")
+        self._f = None
+        if self._primary:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a")
         self._tb = None
         self._tb_counts: dict[str, int] = {}
-        if tensorboard_dir is not None:
+        if tensorboard_dir is not None and self._primary:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -69,6 +76,8 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, event: str, **fields: Any) -> None:
+        if self._f is None:  # non-primary process: no writer
+            return
         rec = {"event": event, "time": time.time(), **fields}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
@@ -92,6 +101,7 @@ class MetricsLogger:
             self._tb.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()

@@ -31,7 +31,6 @@ from lanczosnet_tpu.models.sparse_nodes import (
     SparseMPNN,
 )
 from lanczosnet_tpu.ops.sparse import (
-    SparseOp,
     sparse_lanczos_ritz,
     sparse_row_stochastic_operator,
     sparse_sym_operator,
@@ -148,9 +147,8 @@ def test_node_sharded_lanczos_ritz_matches_unsharded():
     n = g["features"].shape[0]
     op = sparse_sym_operator(g["edges"], n)
     sop, n_pad = node_shard_sparse_op(op, mesh)
-    op_specs = SparseOp(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=sop.n, gather_axis=DATA_AXIS, n_true=sop.n_true,
+    op_specs = sop.replace(
+        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
     )
     k = 8
     rv, rvec = jax.jit(jax.shard_map(
@@ -183,9 +181,8 @@ def test_node_sharded_lanczosnet_with_sharded_ritz():
     rv0, rvec0 = sparse_lanczos_ritz(ref_op, k)
     params = model.init(jax.random.PRNGKey(0), x, ref_op, rv0, rvec0)["params"]
 
-    op_specs = SparseOp(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=sop.n, gather_axis=DATA_AXIS, n_true=sop.n_true,
+    op_specs = sop.replace(
+        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
     )
     rv, rvec = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
@@ -332,16 +329,13 @@ def test_ring_forward_and_grads_match_single_device(name):
 
 def test_ring_lanczos_ritz_matches_unsharded():
     from lanczosnet_tpu.parallel.mesh import ring_shard_sparse_op
-    from lanczosnet_tpu.ops.sparse import RingOp
-
     mesh = require_mesh()
     g = small_graph()
     n = g["features"].shape[0]
     op = sparse_sym_operator(g["edges"], n)
     rop, n_pad = ring_shard_sparse_op(op, mesh)
-    op_specs = RingOp(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS),
-        n=rop.n, axis=DATA_AXIS, n_true=rop.n_true,
+    op_specs = rop.replace(
+        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
     )
     k = 8
     rv, rvec = jax.jit(jax.shard_map(

@@ -22,7 +22,6 @@ from lanczosnet_tpu.models.sparse_nodes import (
 )
 from lanczosnet_tpu.ops.poly import chebyshev_features
 from lanczosnet_tpu.ops.sparse import (
-    SparseOp,
     sparse_lanczos_ritz,
     sparse_sym_operator,
     spmv,
@@ -97,9 +96,7 @@ def test_sharded_lanczosnet_with_sharded_ritz():
     sop = shard_sparse_op(op, mesh)
     from jax.sharding import PartitionSpec as P
 
-    op_specs = SparseOp(
-        row=P("data"), col=P("data"), val=P("data"), n=sop.n, axis=sop.axis
-    )
+    op_specs = sop.replace(row=P("data"), col=P("data"), val=P("data"))
     ritz_sharded = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
         mesh=mesh, in_specs=(op_specs,), out_specs=(P(), P()),
