@@ -83,6 +83,16 @@ class SparseOp:
     )
     n_true: int | None = flax.struct.field(pytree_node=False, default=None)
     rows_sorted: bool = flax.struct.field(pytree_node=False, default=False)
+    # [E] int32 permutation that sorts ``col`` non-decreasing, or None.
+    # Forward gathers don't need it — it exists for the TRANSPOSE: the
+    # VJP of every ``x[col]`` edge gather is a scatter-add at col, which
+    # is unsorted in the destination-major layout. `edge_gather` uses
+    # this to run the backward scatter sorted (same run-length-block-sum
+    # lowering the forward `_segsum` gets from rows_sorted) and to
+    # accumulate 16-bit cotangents in f32 (the element-serialized bf16
+    # scatter trap, measured ~9×). Constructors and the mesh builders
+    # fill it in; hand-built ops may leave it None (plain scatter).
+    col_perm: jnp.ndarray | None = None
 
     def __post_init__(self):
         if self.axis is not None and self.gather_axis is not None:
@@ -90,6 +100,16 @@ class SparseOp:
                 "SparseOp cannot be both edge-sharded (axis) and "
                 "node-sharded (gather_axis)"
             )
+
+    def shard_specs(self, axis: str):
+        """This op as a `shard_map` spec tree: every edge-array leaf
+        ``P(axis)`` (static fields ride the treedef unchanged, so the
+        spec tree and the op always stay structurally in sync)."""
+        p = jax.sharding.PartitionSpec(axis)
+        return self.replace(
+            row=p, col=p, val=p,
+            col_perm=None if self.col_perm is None else p,
+        )
 
 
 def sparse_sym_operator(
@@ -108,12 +128,14 @@ def sparse_sym_operator(
     inv_sqrt = np.where(deg > eps, 1.0 / np.sqrt(np.maximum(deg, eps)), 0.0)
     val = (inv_sqrt[row] * inv_sqrt[col]).astype(np.float32)
     order = np.argsort(row, kind="stable")  # destination-major layout
+    col = col[order]
     return SparseOp(
         row=jnp.asarray(row[order], jnp.int32),
-        col=jnp.asarray(col[order], jnp.int32),
+        col=jnp.asarray(col, jnp.int32),
         val=jnp.asarray(val[order]),
         n=n,
         rows_sorted=True,
+        col_perm=jnp.asarray(np.argsort(col, kind="stable"), jnp.int32),
     )
 
 
@@ -129,12 +151,14 @@ def sparse_row_stochastic_operator(
     deg = np.bincount(row, minlength=n).astype(np.float64)
     val = (1.0 / np.maximum(deg, 1.0))[row].astype(np.float32)
     order = np.argsort(row, kind="stable")
+    col = col[order]
     return SparseOp(
         row=jnp.asarray(row[order], jnp.int32),
-        col=jnp.asarray(col[order], jnp.int32),
+        col=jnp.asarray(col, jnp.int32),
         val=jnp.asarray(val[order]),
         n=n,
         rows_sorted=True,
+        col_perm=jnp.asarray(np.argsort(col, kind="stable"), jnp.int32),
     )
 
 
@@ -166,6 +190,11 @@ class RingOp:
     # view is NOT — per-slice reductions may pass indices_are_sorted,
     # whole-op flattened ones may not)
     rows_sorted: bool = flax.struct.field(pytree_node=False, default=False)
+
+    def shard_specs(self, axis: str):
+        """Spec tree for `shard_map` in_specs (see SparseOp.shard_specs)."""
+        p = jax.sharding.PartitionSpec(axis)
+        return self.replace(row=p, col=p, val=p)
 
 
 def ring_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
@@ -287,7 +316,7 @@ def gat_attention(
     self_logits = jax.nn.leaky_relu(s_dst + s_src, negative_slope)  # [n, H]
     if not isinstance(op, RingOp):
         logits = jax.nn.leaky_relu(
-            s_dst[op.row] + gather_nodes(op, s_src)[op.col], negative_slope
+            s_dst[op.row] + edge_gather(op, s_src), negative_slope
         )  # [E, H]
         p, denom, p_self = segment_softmax_coo(logits, op, self_logits)
         msg = attention_spmv(op, p, hp) + p_self[..., None] * hp
@@ -386,7 +415,7 @@ def learned_kernel_op(op, emb: jnp.ndarray, eps: float = 1e-12):
     """
     scale = jnp.sqrt(jnp.asarray(float(emb.shape[-1]), emb.dtype))
     if not isinstance(op, RingOp):
-        d2 = jnp.sum((emb[op.row] - gather_nodes(op, emb)[op.col]) ** 2, -1)
+        d2 = jnp.sum((emb[op.row] - edge_gather(op, emb)) ** 2, -1)
         return sym_normalize_coo(op, jnp.exp(-d2 / scale), eps)
 
     d, me, perm = _ring_env(op)
@@ -439,6 +468,62 @@ def gather_nodes(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.all_gather(x, op.gather_axis, axis=0, tiled=True)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _take_sorted_bwd(xg, col, col_perm, axis):
+    return xg[col]
+
+
+def _take_sorted_bwd_fwd(xg, col, col_perm, axis):
+    return xg[col], (col, col_perm, xg.shape[0])
+
+
+def _take_sorted_bwd_bwd(axis, res, g):
+    col, col_perm, n = res
+    dt = g.dtype  # cotangent dtype == primal output dtype == xg's
+    acc = g.astype(jnp.float32) if g.dtype in (jnp.bfloat16, jnp.float16) else g
+    if col_perm is not None:
+        dx = jax.ops.segment_sum(
+            jnp.take(acc, col_perm, axis=0),
+            jnp.take(col, col_perm),
+            num_segments=n,
+            indices_are_sorted=True,
+        )
+    else:
+        dx = jax.ops.segment_sum(acc, col, num_segments=n)
+    if axis is not None:
+        # edge-sharded mode: the gathered operand was REPLICATED across
+        # the edge shards, so its cotangent is the cross-shard sum (the
+        # psum plain autodiff would have inserted as the broadcast
+        # transpose) — and the psum also discharges the varying vma
+        # type, matching the replicated primal
+        dx = jax.lax.psum(dx, axis)
+    return dx.astype(dt), None, None
+
+
+_take_sorted_bwd.defvjp(_take_sorted_bwd_fwd, _take_sorted_bwd_bwd)
+
+
+def edge_gather(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
+    """``gather_nodes(op, x)[op.col]`` with a transpose that scatters
+    SORTED and in f32 — use it wherever the gathered operand is
+    differentiable.
+
+    Autodiff's transpose of an edge gather is a scatter-add at ``col``,
+    which the destination-major edge layout leaves unsorted — the one
+    scatter the forward path's ``rows_sorted`` promise cannot reach
+    (measured: the whole bf16 e2e sparse step was ~1.85× SLOWER than
+    f32 because that cotangent scatter lowers element-serialized on
+    TPU). The custom VJP permutes the cotangents with ``op.col_perm``
+    so the scatter runs as run-length block sums, accumulating 16-bit
+    cotangents in f32; the extra cost is one [E(,F)] permutation gather.
+    Falls back to an unsorted (still f32-accumulated) scatter when the
+    op carries no ``col_perm``. Forward values are bit-identical to
+    plain indexing; ``gather_nodes``'s all_gather keeps its own
+    reduce-scatter transpose.
+    """
+    return _take_sorted_bwd(gather_nodes(op, x), op.col, op.col_perm, op.axis)
+
+
 def spectral_project(
     op: SparseOp, ritz_vec: jnp.ndarray, h: jnp.ndarray
 ) -> jnp.ndarray:
@@ -482,8 +567,8 @@ def mean_spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(op, RingOp):
         return ring_mean_spmv(op, x)
     live = (op.val != 0.0).astype(x.dtype)
-    xg = gather_nodes(op, x)
-    msg = live[:, None] * xg[op.col] if x.ndim == 2 else live * xg[op.col]
+    xg = edge_gather(op, x)
+    msg = live[:, None] * xg if x.ndim == 2 else live * xg
     out = _segsum(msg, op.row, op.n, op.rows_sorted)
     deg = _segsum(live, op.row, op.n, op.rows_sorted)
     if op.axis is not None:
@@ -531,7 +616,7 @@ def sym_normalize_coo(
     # Node-sharded: deg is complete locally (all incoming edges of a
     # row live on its device), but the source side needs the gather.
     return op.replace(
-        val=k * inv_sqrt[op.row] * gather_nodes(op, inv_sqrt)[op.col]
+        val=k * inv_sqrt[op.row] * edge_gather(op, inv_sqrt)
     )
 
 
@@ -581,8 +666,8 @@ def spmv(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(op, RingOp):
         return ring_spmv(op, x)
     val = op.val.astype(x.dtype)
-    xg = gather_nodes(op, x)
-    msg = val[:, None] * xg[op.col] if x.ndim == 2 else val * xg[op.col]
+    xg = edge_gather(op, x)
+    msg = val[:, None] * xg if x.ndim == 2 else val * xg
     out = _segsum(msg, op.row, op.n, op.rows_sorted)
     if op.axis is not None:
         out = jax.lax.psum(out, op.axis)
@@ -647,7 +732,7 @@ def attention_spmv(
     per-edge weights ``p [E, ...]`` broadcast against ``x[col] [E, ..., F]``;
     psum-reduced across edge shards like `spmv`."""
     out = _segsum(
-        p[..., None].astype(x.dtype) * gather_nodes(op, x)[op.col],
+        p[..., None].astype(x.dtype) * edge_gather(op, x),
         op.row, op.n, op.rows_sorted,
     )
     if op.axis is not None:

@@ -72,6 +72,8 @@ def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
     inside a `shard_map` over the same mesh (node arrays replicated) —
     `train/sparse_citation_runner.py:sharded_sparse_apply`.
     """
+    import jax.numpy as jnp
+
     from lanczosnet_tpu.ops.sparse import SparseOp
 
     ndev = mesh.shape[axis]
@@ -79,8 +81,6 @@ def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
     pad = (-e) % ndev
     row, col, val = op.row, op.col, op.val
     if pad:
-        import jax.numpy as jnp
-
         # pad rows with the LAST segment id (not 0): the trailing pad
         # edges then keep the final shard non-decreasing, so the base
         # op's rows_sorted promise survives sharding (each shard is a
@@ -92,6 +92,13 @@ def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
         col = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
         val = jnp.concatenate([val, jnp.zeros((pad,), val.dtype)])
     sh = NamedSharding(mesh, P(axis))
+    # per-shard col-sort permutation (shard-LOCAL indices): edge_gather's
+    # backward scatter runs inside shard_map on each device's slice, so
+    # each contiguous slice gets its own argsort
+    e_loc = int(col.shape[0]) // ndev
+    cp = np.argsort(
+        np.asarray(col).reshape(ndev, e_loc), axis=1, kind="stable"
+    ).astype(np.int32)
     return SparseOp(
         row=global_put(row, sh),
         col=global_put(col, sh),
@@ -99,6 +106,7 @@ def shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
         n=op.n,
         axis=axis,
         rows_sorted=op.rows_sorted,
+        col_perm=global_put(jnp.asarray(cp.reshape(-1)), sh),
     )
 
 
@@ -155,10 +163,14 @@ def node_shard_sparse_op(op, mesh: Mesh, axis: str = DATA_AXIS):
         c[d, :k] = col[sel]
         v[d, :k] = val[sel]
     sh = NamedSharding(mesh, P(axis))
+    # device-local col-sort permutations for edge_gather's sorted
+    # backward scatter (cols are global ids; indices are slice-local)
+    cp = np.argsort(c, axis=1, kind="stable").astype(np.int32)
     sharded = SparseOp(
         row=global_put(jnp.asarray(r.reshape(-1)), sh),
         col=global_put(jnp.asarray(c.reshape(-1)), sh),
         val=global_put(jnp.asarray(v.reshape(-1)), sh),
+        col_perm=global_put(jnp.asarray(cp.reshape(-1)), sh),
         n=n_loc,
         gather_axis=axis,
         # the input op's node count is the true one; padding to n_pad

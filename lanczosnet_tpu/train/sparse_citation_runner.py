@@ -108,9 +108,7 @@ def sharded_sparse_apply(mesh, model, params, x, op, extras=None,
     node_mode = ring or op.gather_axis is not None
     # spec tree via replace: static fields (n/axis/n_true/rows_sorted)
     # are part of the treedef and must match the op's exactly
-    op_specs = op.replace(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
-    )
+    op_specs = op.shard_specs(DATA_AXIS)
     node_spec = P(DATA_AXIS) if node_mode else P()
     extras = tuple(extras) if extras is not None else ()
     if extra_specs is None:
@@ -276,9 +274,7 @@ class SparseCitationRunner:
                 # matvec callback is the sharded spmv (edge mode), or
                 # the node-block recursion with psum'd inner products
                 # (node mode, ritz_vec comes out node-sharded)
-                op_specs = self.op.replace(
-                    row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
-                )
+                op_specs = self.op.shard_specs(DATA_AXIS)
                 vec_spec = P(DATA_AXIS) if self.node_sharded else P()
                 self.extras = jax.jit(jax.shard_map(
                     lambda lop: sparse_lanczos_ritz(lop, k),

@@ -391,3 +391,48 @@ def test_synthetic_edges_small_graphs_get_test_split():
     big = synthetic_citation_edges(5000, num_class=5, feat_dim=16, seed=7)
     assert big["val_mask"].sum() == 500
     assert big["test_mask"].sum() == 1000
+
+
+def test_edge_gather_custom_vjp_matches_plain_autodiff():
+    """`edge_gather`'s custom transpose (col_perm-sorted, f32-accumulated
+    scatter) must be the SAME linear map as plain autodiff's unsorted
+    scatter-add — checked through spmv, the learned-kernel operator
+    (per-edge Gaussian on embeddings), and mean_spmv, against an op
+    stripped of its col_perm (which also exercises the fallback)."""
+    import jax
+
+    from lanczosnet_tpu.ops.sparse import learned_kernel_op, mean_spmv
+
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 50, (200, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    op = sparse_sym_operator(edges, 50)
+    assert op.col_perm is not None
+    op_plain = op.replace(col_perm=None)
+    x = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(50, 4)), jnp.float32)
+
+    for f in (
+        lambda o: lambda x: (spmv(o, x) ** 2).sum(),
+        lambda o: lambda x: (mean_spmv(o, x) ** 2).sum(),
+    ):
+        g_sorted = jax.jit(jax.grad(f(op)))(x)
+        g_plain = jax.jit(jax.grad(f(op_plain)))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_sorted), np.asarray(g_plain), rtol=1e-6, atol=1e-7
+        )
+
+    k = lambda o: lambda e: (spmv(learned_kernel_op(o, e), x) ** 2).sum()
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(k(op))(emb)),
+        np.asarray(jax.grad(k(op_plain))(emb)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # bf16 cotangents accumulate in f32 and come back bf16 and finite
+    xb = x.astype(jnp.bfloat16)
+    gb = jax.grad(
+        lambda x: (spmv(op, x).astype(jnp.float32) ** 2).sum()
+    )(xb)
+    assert gb.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(gb.astype(jnp.float32)).all())

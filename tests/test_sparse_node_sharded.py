@@ -147,9 +147,7 @@ def test_node_sharded_lanczos_ritz_matches_unsharded():
     n = g["features"].shape[0]
     op = sparse_sym_operator(g["edges"], n)
     sop, n_pad = node_shard_sparse_op(op, mesh)
-    op_specs = sop.replace(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
-    )
+    op_specs = sop.shard_specs(DATA_AXIS)
     k = 8
     rv, rvec = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
@@ -181,9 +179,7 @@ def test_node_sharded_lanczosnet_with_sharded_ritz():
     rv0, rvec0 = sparse_lanczos_ritz(ref_op, k)
     params = model.init(jax.random.PRNGKey(0), x, ref_op, rv0, rvec0)["params"]
 
-    op_specs = sop.replace(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
-    )
+    op_specs = sop.shard_specs(DATA_AXIS)
     rv, rvec = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
         mesh=mesh, in_specs=(op_specs,), out_specs=(P(), P(DATA_AXIS)),
@@ -334,9 +330,7 @@ def test_ring_lanczos_ritz_matches_unsharded():
     n = g["features"].shape[0]
     op = sparse_sym_operator(g["edges"], n)
     rop, n_pad = ring_shard_sparse_op(op, mesh)
-    op_specs = rop.replace(
-        row=P(DATA_AXIS), col=P(DATA_AXIS), val=P(DATA_AXIS)
-    )
+    op_specs = rop.shard_specs(DATA_AXIS)
     k = 8
     rv, rvec = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),

@@ -96,7 +96,7 @@ def test_sharded_lanczosnet_with_sharded_ritz():
     sop = shard_sparse_op(op, mesh)
     from jax.sharding import PartitionSpec as P
 
-    op_specs = sop.replace(row=P("data"), col=P("data"), val=P("data"))
+    op_specs = sop.shard_specs("data")
     ritz_sharded = jax.jit(jax.shard_map(
         lambda lop: sparse_lanczos_ritz(lop, k),
         mesh=mesh, in_specs=(op_specs,), out_specs=(P(), P()),
