@@ -235,6 +235,7 @@ def pack_citation(
     pad_to: int = 8,
     operator_kind: str = "sym",
     num_eig_vec: int = 0,
+    num_cluster: int = 0,
 ) -> tuple[GraphBatch, dict]:
     """Citation dict → (B=1 GraphBatch, split masks padded alike).
 
@@ -242,6 +243,9 @@ def pack_citation(
     batch shards evenly over a device mesh (parallel/mesh.py node-axis
     sharding). ``atom_type`` is 1 for every real node — citation nodes
     carry continuous features, the embedding is a shared bias.
+    ``num_cluster > 0`` attaches a GPNN partition assignment
+    (`data.partition.ritz_partition` — the Ritz-embedding clustering the
+    sparse path also uses, so dense/sparse controls match).
     """
     n = graph["features"].shape[0]
     n_pad = -(-n // pad_to) * pad_to
@@ -268,6 +272,12 @@ def pack_citation(
         )
         ritz_val, ritz_vec = np.asarray(ritz_val), np.asarray(ritz_vec)
 
+    cluster = None
+    if num_cluster > 0:
+        from lanczosnet_tpu.data.partition import ritz_partition
+
+        cluster = ritz_partition(ops[0, 0], mask[0], num_cluster)[None]
+
     batch = GraphBatch(
         atom_type=atom,
         node_feat=feats,
@@ -277,6 +287,7 @@ def pack_citation(
         ritz_val=ritz_val,
         ritz_vec=ritz_vec,
         node_label=node_label,
+        cluster=cluster,
     )
     splits = {}
     for s in ("train", "val", "test"):

@@ -95,3 +95,33 @@ def spectral_partition_batch(
     return np.stack(
         [spectral_partition(ops0[g], mask[g], num_cluster) for g in range(len(ops0))]
     )
+
+
+def ritz_partition(
+    op: np.ndarray, mask: np.ndarray, num_cluster: int,
+    k: int | None = None, seed: int = 0,
+) -> np.ndarray:
+    """Partition ONE large dense-operator graph via its Ritz embedding.
+
+    `spectral_partition`'s full eigh is O(N³) host flops — fine at QM8's
+    N≤128, minutes at citation scale. This variant embeds nodes with the
+    operator's top-K Ritz vectors (`ops.lanczos.batched_lanczos_ritz`,
+    device-accelerated) — the SAME embedding `sparse_spectral_partition`
+    uses for `SparseGPNN`, so dense-vs-sparse GPNN comparisons on the
+    same graph cluster the same way. Returns [N] int32 ids (0 on pads).
+    """
+    if num_cluster <= 1:
+        return np.zeros(op.shape[0], np.int32)
+    from lanczosnet_tpu.ops.lanczos import batched_lanczos_ritz
+
+    n_real = int(mask.sum())
+    k = k if k is not None else max(2 * num_cluster, 8)
+    k = min(k, max(n_real, 1))
+    _, vecs = batched_lanczos_ritz(
+        np.asarray(op, np.float32)[None], np.asarray(mask, np.float32)[None], k
+    )
+    emb = np.asarray(vecs)[0][:, -min(num_cluster, k):]
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    out = np.zeros(op.shape[0], np.int32)
+    out[:n_real] = _kmeans(emb[:n_real], num_cluster, seed=seed).astype(np.int32)
+    return out

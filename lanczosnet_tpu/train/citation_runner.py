@@ -77,6 +77,11 @@ class CitationRunner:
             pad_to=self.mesh.size,
             operator_kind=dcfg.get("operator_kind", "sym"),
             num_eig_vec=num_eig_vec,
+            num_cluster=(
+                int(mcfg.get("num_partition", 0))
+                if mcfg["name"] == "GPNN"
+                else 0
+            ),
         )
         self.n_pad = batch.mask.shape[1]
         self.batch = shard_full_graph(batch, self.mesh, self.n_pad)

@@ -67,6 +67,26 @@ def test_pack_citation_pads_and_masks():
         assert s[0, n:].sum() == 0
 
 
+def test_pack_citation_gpnn_partition():
+    """num_cluster attaches a Ritz-embedding partition: real nodes split
+    into the requested id range, pads stay 0, both clusters non-empty,
+    and the ids shard along the node axis like every other [1, N] leaf."""
+    g = small_graph()
+    batch, _ = pack_citation(g, pad_to=8, num_cluster=2)
+    n = g["labels"].shape[0]
+    cl = np.asarray(batch.cluster)
+    assert cl.shape == (1, batch.mask.shape[1])
+    assert set(np.unique(cl[0, :n])) == {0, 1}
+    assert (cl[0, n:] == 0).all()
+    # a spectral partition of a homophilous graph should not be
+    # pathologically lopsided
+    frac = (cl[0, :n] == 0).mean()
+    assert 0.02 < frac < 0.98
+    mesh = make_mesh(8)
+    sb = shard_full_graph(batch, mesh, batch.mask.shape[1])
+    np.testing.assert_array_equal(np.asarray(sb.cluster), cl)
+
+
 def test_masked_ce_ignores_unsupervised():
     logits = jnp.zeros((1, 4, 3)).at[0, 3, 0].set(100.0)
     labels = jnp.array([[0, 1, 2, 1]])
