@@ -137,6 +137,9 @@ class AdaLanczosNet(nn.Module):
             if fused and has_chan:
                 prop = spectral_layer_channels(h, short_ops, ritz_vec, filt, edge_ops)
                 parts = [h, prop]
+                h = nn.Dense(dim, name=f"layer_{li}")(
+                    jnp.concatenate(parts, axis=-1)
+                )
             else:
                 parts = [h]
                 if self.short_diffusion_dist:
@@ -149,7 +152,9 @@ class AdaLanczosNet(nn.Module):
                     parts.append(flatten_feature_stack(long))
                 if edge_ops is not None:
                     parts.append(edge_message_concat(edge_ops, h))
-            h = nn.Dense(dim, name=f"layer_{li}")(jnp.concatenate(parts, axis=-1))
+                h = nn.Dense(dim, name=f"layer_{li}")(
+                    jnp.concatenate(parts, axis=-1)
+                )
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]

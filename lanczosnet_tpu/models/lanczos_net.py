@@ -122,23 +122,15 @@ def operator_powers(
     return jnp.stack([pows[t] for t in dists], axis=1)
 
 
-def spectral_layer_channels(
-    h: jnp.ndarray,
+def channel_stack(
     short_ops: jnp.ndarray | None,
     ritz_vec: jnp.ndarray | None,
     filt: jnp.ndarray | None,
     edge_ops: jnp.ndarray | None,
 ) -> jnp.ndarray:
-    """One fused matmul for a LanczosNet layer's propagation channels.
-
-    Builds the channel stack ``[S^t… ‖ V f_s(D) Vᵀ… ‖ A_e…]`` ([B,C,N,N])
-    and applies it to ``h`` in a single batched contraction — profiled
-    r2: the step program is op-count bound at QM8 scale (N=32 fills a
-    quarter of the 128 lanes), so collapsing ~6 small matmuls per layer
-    (3 sequential short hops, 2 low-rank long-scale products, 1 edge
-    einsum) into one [B,C·N,N]×[B,N,F] product is the direct win; the
-    per-channel math is unchanged. Returns ``[B,N,C·F]``.
-    """
+    """One layer's propagation operators as a single ``[B, C, N, N]``
+    stack: ``[S^t… ‖ V f_s(D) Vᵀ… ‖ A_e…]`` in that (c-major) order —
+    the layout both fused appliers below contract against."""
     chans = []
     if short_ops is not None:
         chans.append(short_ops)
@@ -155,11 +147,85 @@ def spectral_layer_channels(
         chans.append(m)
     if edge_ops is not None:
         chans.append(edge_ops)
-    stack = jnp.concatenate(chans, axis=1) if len(chans) > 1 else chans[0]
+    return jnp.concatenate(chans, axis=1) if len(chans) > 1 else chans[0]
+
+
+def spectral_layer_channels(
+    h: jnp.ndarray,
+    short_ops: jnp.ndarray | None,
+    ritz_vec: jnp.ndarray | None,
+    filt: jnp.ndarray | None,
+    edge_ops: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """One fused matmul for a LanczosNet layer's propagation channels.
+
+    Applies :func:`channel_stack` to ``h`` in a single batched
+    contraction — profiled r2: the step program is op-count bound at QM8
+    scale (N=32 fills a quarter of the 128 lanes), so collapsing ~6
+    small matmuls per layer (3 sequential short hops, 2 low-rank
+    long-scale products, 1 edge einsum) into one [B,C·N,N]×[B,N,F]
+    product is the direct win; the per-channel math is unchanged.
+    Returns ``[B,N,C·F]``.
+    """
+    stack = channel_stack(short_ops, ritz_vec, filt, edge_ops)
     feats = jnp.einsum(
         "bcij,bjf->bcif", stack, h, preferred_element_type=jnp.float32
     )
     return flatten_feature_stack(feats)
+
+
+class FusedChannelDense(nn.Module):
+    """``Dense(concat([h, flatten(stack @ h)]))`` with the Dense kernel
+    folded INTO the channel contraction — an attempted MXU-depth fix
+    for the molecular regime that MEASURED SLOWER end to end, kept as
+    a reproducible negative result (PARITY.md, VERDICT r2 item 5).
+
+    The straightforward order contracts over the node axis first
+    (``Σ_j stack[b,c,i,j] h[b,j,f]``, K = N = 32 at the bench config —
+    a quarter of the MXU's 128-deep systolic column), then mixes with
+    the layer kernel (K = C·F, fine). Reassociating — first
+    ``G[b,c,j,d] = Σ_f h[b,j,f] W_p[c,f,d]`` (K = F = 128), then
+    ``Σ_{c,j} stack[b,c,i,j] G[b,c,j,d]`` (K = C·N = 256) — performs
+    the IDENTICAL total FLOPs with every contraction at full MXU depth
+    and never materializes the ``[B,N,C·F]`` concat. Isolated fwd+bwd
+    at bench shapes it wins (163.6 vs 188.4 µs/step, v5e); in the FULL
+    train step it loses 1.4× (291k → 203k graphs/s): the layer's big
+    Dense (M = B·N = 2048, K = (1+C)·F = 1152) was already perfectly
+    MXU-shaped, and this trades it for B·C = 512 tiny [N,F]×[F,D]
+    batched matmuls that tile worse than the one K=N einsum they
+    replace. The models therefore keep `spectral_layer_channels`;
+    parameter names/shapes/init here match ``nn.Dense(features)`` on
+    the ``[h ‖ c-major flattened channels]`` concat (checkpoints are
+    interchangeable — `tests/test_models.py` proves the equivalence).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, stack: jnp.ndarray) -> jnp.ndarray:
+        c = stack.shape[1]
+        f = h.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            ((1 + c) * f, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        w_h = kernel[:f]  # [F, D]
+        w_p = kernel[f:].reshape(c, f, self.features)  # [C, F, D]
+        g = jnp.einsum(
+            "bjf,cfd->bcjd", h, w_p, preferred_element_type=jnp.float32
+        )
+        out = jax.lax.dot_general(
+            stack,
+            g,
+            dimension_numbers=(((1, 3), (1, 2)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [B, N, D]
+        return out + h @ w_h + bias
 
 
 class LanczosNet(nn.Module):
@@ -231,6 +297,9 @@ class LanczosNet(nn.Module):
                     h, short_ops, batch.ritz_vec, filt, edge_ops
                 )
                 parts = [h, prop]
+                h = nn.Dense(dim, name=f"layer_{li}")(
+                    jnp.concatenate(parts, axis=-1)
+                )
             else:
                 parts = [h]
                 if self.short_diffusion_dist:
@@ -243,7 +312,9 @@ class LanczosNet(nn.Module):
                     parts.append(flatten_feature_stack(long))
                 if edge_ops is not None:
                     parts.append(edge_message_concat(edge_ops, h))
-            h = nn.Dense(dim, name=f"layer_{li}")(jnp.concatenate(parts, axis=-1))
+                h = nn.Dense(dim, name=f"layer_{li}")(
+                    jnp.concatenate(parts, axis=-1)
+                )
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = h * batch.mask[..., None]

@@ -147,3 +147,31 @@ def test_lanczosnet_requires_ritz():
 def test_registry_rejects_unknown():
     with pytest.raises(KeyError, match="unknown model"):
         build_model({"name": "NotAModel"})
+
+
+def test_fused_channel_dense_matches_unfused():
+    """FusedChannelDense (kernel folded into the channel contraction,
+    K = C·N instead of K = N) is the same linear map as nn.Dense on
+    [h ‖ flattened stack@h] — identical params, reassociated order."""
+    import flax.linen as nn
+
+    from lanczosnet_tpu.models.base import flatten_feature_stack
+    from lanczosnet_tpu.models.lanczos_net import FusedChannelDense
+
+    rng = np.random.default_rng(11)
+    b, c, n, f, d = 3, 5, 16, 24, 32
+    h = jnp.asarray(rng.normal(size=(b, n, f)), jnp.float32)
+    stack = jnp.asarray(rng.normal(size=(b, c, n, n)), jnp.float32)
+
+    fused = FusedChannelDense(d)
+    params = fused.init(jax.random.PRNGKey(0), h, stack)
+    out_fused = fused.apply(params, h, stack)
+
+    feats = flatten_feature_stack(jnp.einsum("bcij,bjf->bcif", stack, h))
+    z = jnp.concatenate([h, feats], axis=-1)
+    out_ref = nn.Dense(d).apply(params, z)  # same kernel/bias tree
+
+    assert out_fused.shape == (b, n, d)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )
