@@ -36,6 +36,7 @@ from lanczosnet_tpu.train.scan_epoch import (
     device_dataset,
     make_scan_eval,
     make_scan_train_epoch,
+    make_scan_train_epochs,
 )
 from lanczosnet_tpu.train.step import init_state, make_eval_step, make_train_step
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
@@ -287,6 +288,16 @@ class QM8Runner:
             )
         tx, schedule = build_optimizer(tcfg, steps_per_epoch)
         epoch_fn = make_scan_train_epoch(self.model, tx)
+        # Device-resident shuffling (single-bucket path): each epoch's
+        # permutation is jax.random.permutation ON DEVICE inside the
+        # grouped program, so per-dispatch H2D shrinks from a
+        # [group·S, B] int32 table to one PRNG key. Default on; set
+        # train.device_shuffle: false to reproduce host-Philox shuffle
+        # order (the two paths are step-for-step identical given the
+        # same permutations — tests/test_train.py proves it).
+        device_shuffle = bool(tcfg.get("device_shuffle", True))
+        epochs_fns: dict = {}
+        shuffle_key = jax.random.PRNGKey(int(cfg.seed) + 0x5E1F)
         if pairing:
             from lanczosnet_tpu.train.scan_epoch import make_scan_pair_epoch
 
@@ -370,15 +381,27 @@ class QM8Runner:
                     (b, d), = data["train"].items()
                     g_b = len(buckets["train"][b])
                     steps_b = g_b // bs  # > 0, guarded above
-                    perm = _np.concatenate(
-                        [
-                            rng.permutation(g_b)[: steps_b * bs]
-                            for _ in range(group)
-                        ]
-                    ).reshape(group * steps_b, bs).astype(_np.int32)
-                    state, losses = epoch_fn(
-                        state, d, jax.device_put(perm, psh)
-                    )
+                    if device_shuffle:
+                        fn = epochs_fns.get(group)
+                        if fn is None:
+                            fn = epochs_fns[group] = make_scan_train_epochs(
+                                self.model, tx,
+                                num_graphs=g_b, batch_size=bs,
+                                epochs=group,
+                                perm_sharding=psh if self.mesh.size > 1 else None,
+                            )
+                        shuffle_key, sub = jax.random.split(shuffle_key)
+                        state, losses = fn(state, d, sub)
+                    else:
+                        perm = _np.concatenate(
+                            [
+                                rng.permutation(g_b)[: steps_b * bs]
+                                for _ in range(group)
+                            ]
+                        ).reshape(group * steps_b, bs).astype(_np.int32)
+                        state, losses = epoch_fn(
+                            state, d, jax.device_put(perm, psh)
+                        )
                     all_losses = list(
                         _np.asarray(losses).reshape(group, steps_b)
                     )

@@ -50,6 +50,41 @@ def gather_batch(data: GraphBatch, idx: jnp.ndarray) -> GraphBatch:
     return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), data)
 
 
+def _make_step_body(model, tx, data: GraphBatch) -> Callable:
+    """The scanned train-step body shared by the perm-fed and
+    device-shuffled epoch programs: (state, idx [B]) → (state, loss)."""
+
+    def body(state: TrainState, idx: jnp.ndarray):
+        batch = gather_batch(data, idx)
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            pred = model.apply(
+                {"params": params},
+                batch,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return weighted_mae(
+                pred, batch.label, jnp.ones(idx.shape[0], jnp.float32)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                step=state.step + 1,
+                rng=rng,
+            ),
+            loss,
+        )
+
+    return body
+
+
 def make_scan_train_epoch(model, tx, unroll: int = 4) -> Callable:
     """(state, data, perm [S,B]) → (state, losses [S]). One XLA program.
 
@@ -60,39 +95,66 @@ def make_scan_train_epoch(model, tx, unroll: int = 4) -> Callable:
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, data: GraphBatch, perm: jnp.ndarray):
-        def body(state, idx):
-            batch = gather_batch(data, idx)
-            rng, dropout_rng = jax.random.split(state.rng)
-
-            def loss_fn(params):
-                pred = model.apply(
-                    {"params": params},
-                    batch,
-                    deterministic=False,
-                    rngs={"dropout": dropout_rng},
-                )
-                return weighted_mae(
-                    pred, batch.label, jnp.ones(idx.shape[0], jnp.float32)
-                )
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-            return (
-                TrainState(
-                    params=params,
-                    opt_state=opt_state,
-                    step=state.step + 1,
-                    rng=rng,
-                ),
-                loss,
-            )
-
         return jax.lax.scan(
-            body, state, perm, unroll=max(1, min(unroll, perm.shape[0]))
+            _make_step_body(model, tx, data),
+            state,
+            perm,
+            unroll=max(1, min(unroll, perm.shape[0])),
         )
 
     return epoch_fn
+
+
+def make_scan_train_epochs(
+    model,
+    tx,
+    *,
+    num_graphs: int,
+    batch_size: int,
+    epochs: int,
+    unroll: int = 4,
+    perm_sharding=None,
+) -> Callable:
+    """Device-shuffled multi-epoch program: (state, data, key) →
+    (state, losses [epochs·S]).
+
+    The perm-fed path (`make_scan_train_epoch`) ships a
+    [epochs·S, B] int32 permutation from the host every dispatch; over
+    this box's TPU tunnel that H2D plus the host-side shuffle is a
+    measurable slice of the per-call overhead once the device body is
+    only tens of ms. Here each epoch's shuffle is
+    `jax.random.permutation` ON DEVICE inside an outer scan, so the
+    only per-dispatch traffic is one PRNG key in and the losses out —
+    the host's role shrinks to O(1) per validation interval.
+
+    `epochs` is static (compiled into the program); the runner compiles
+    at most two variants (the steady group and a final remainder).
+    Under a data mesh pass ``perm_sharding`` (the [S, B] batch-axis
+    sharding) so the device-generated permutation is laid out exactly
+    like the host-fed one and each device gathers only its batch shard.
+    """
+    steps = num_graphs // batch_size
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epochs_fn(state: TrainState, data: GraphBatch, key: jnp.ndarray):
+        body = _make_step_body(model, tx, data)
+
+        def epoch_body(state, ekey):
+            perm = jax.random.permutation(ekey, num_graphs)[
+                : steps * batch_size
+            ].reshape(steps, batch_size)
+            if perm_sharding is not None:
+                perm = jax.lax.with_sharding_constraint(perm, perm_sharding)
+            return jax.lax.scan(
+                body, state, perm, unroll=max(1, min(unroll, steps))
+            )
+
+        state, losses = jax.lax.scan(
+            epoch_body, state, jax.random.split(key, epochs)
+        )
+        return state, losses.reshape(-1)
+
+    return epochs_fn
 
 
 def make_scan_pair_epoch(model, tx, unroll: int = 2) -> Callable:

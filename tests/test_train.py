@@ -253,3 +253,74 @@ def test_snapshot_epoch_tags(tmp_path):
     )
     assert "best" in tags and "latest" in tags
     assert any(t.startswith("epoch_") for t in tags)
+
+
+def test_device_shuffle_matches_perm_fed_path():
+    """make_scan_train_epochs (device-resident jax.random shuffling)
+    must be step-for-step identical to make_scan_train_epoch when fed
+    the SAME permutations — the runner's train.device_shuffle knob only
+    moves the shuffle on-device, it must not change the training
+    computation."""
+    from lanczosnet_tpu.data.dataset import pack_dataset
+    from lanczosnet_tpu.train.scan_epoch import (
+        device_dataset,
+        make_scan_train_epoch,
+        make_scan_train_epochs,
+    )
+
+    num, bs, epochs = 12, 4, 3
+    graphs = synthetic_qm8_graphs(num, seed=0, n_lo=4, n_hi=8)
+    ds = pack_dataset(graphs, n_max=10, num_eig_vec=4, standardize=True)
+    data = device_dataset(ds)
+    model = tiny_model("LanczosNet", num_eig_vec=4,
+                       short_diffusion_dist=[1, 2],
+                       long_diffusion_dist=[3, 5])
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+    batch0 = jax.tree.map(lambda x: x[:bs], data)
+    state_a = init_state(model, batch0, tx, seed=0)
+    state_b = init_state(model, batch0, tx, seed=0)
+
+    key = jax.random.PRNGKey(7)
+    epochs_fn = make_scan_train_epochs(
+        model, tx, num_graphs=num, batch_size=bs, epochs=epochs
+    )
+    state_a, losses_a = epochs_fn(state_a, data, key)
+
+    # replicate the device shuffle on the host with the same keys
+    steps = num // bs
+    perms = [
+        np.asarray(jax.random.permutation(k, num))[: steps * bs]
+        for k in jax.random.split(key, epochs)
+    ]
+    perm = jnp.asarray(
+        np.concatenate(perms).reshape(epochs * steps, bs).astype(np.int32)
+    )
+    epoch_fn = make_scan_train_epoch(model, tx)
+    state_b, losses_b = epoch_fn(state_b, data, perm)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_a), np.asarray(losses_b), rtol=1e-6, atol=1e-7
+    )
+    for pa, pb in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_runner_device_shuffle_end_to_end(tmp_path):
+    """The scanned runner trains with train.device_shuffle (default on)
+    and with it off; both produce finite losses and checkpoints."""
+    import pathlib
+
+    for flag in (True, False):
+        cfg = _runner_config(tmp_path / f"ds_{int(flag)}", "GCN")
+        cfg.train.scan_epoch = True
+        cfg.train.device_shuffle = flag
+        cfg.train.max_epoch = 3
+        cfg.train.valid_epoch = 2  # exercises group sizes 2 then 1
+        pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+        runner = build_runner(cfg)
+        res = runner.train()
+        assert np.isfinite(res["best_val_mae"])
