@@ -75,8 +75,9 @@ def analytic_train_flops_per_graph() -> float:
 
 def bench_jax() -> dict:
     """Scanned-epoch training throughput (the runner's default path):
-    whole dataset device-resident, `lax.scan` over shuffled batches,
-    only a [steps, B] permutation crossing the host per epoch."""
+    whole dataset device-resident, `lax.scan` over device-shuffled
+    batches (train.device_shuffle), only a PRNG key crossing the host
+    per validation interval."""
     import jax
     import jax.numpy as jnp
 
@@ -92,7 +93,7 @@ def bench_jax() -> dict:
     from lanczosnet_tpu.train.scan_epoch import (
         device_dataset,
         gather_batch,
-        make_scan_train_epoch,
+        make_scan_train_epochs,
     )
     from lanczosnet_tpu.train.step import init_state
 
@@ -120,31 +121,29 @@ def bench_jax() -> dict:
     state = init_state(
         model, gather_batch(data, jnp.arange(BATCH)), tx, seed=0
     )
-    epoch_fn = make_scan_train_epoch(model, tx)
-    rng = np.random.default_rng(0)
-
     # Steady-state measurement: E epochs per dispatch, matching the
     # runner's epoch-grouped scanned path (epochs between validations
-    # run as one program). One dispatch per epoch re-pays the host
-    # tunnel latency every 12 ms and understates the chip by ~25%.
+    # run as one program, train.device_shuffle generates permutations
+    # on device — the default runner configuration). One dispatch per
+    # epoch re-pays the host tunnel latency every 12 ms and understates
+    # the chip by ~25%.
     group = 10
+    epochs_fn = make_scan_train_epochs(
+        model, tx, num_graphs=num_graphs, batch_size=BATCH, epochs=group
+    )
+    key = jax.random.PRNGKey(0)
 
-    def grouped_epochs(state):
-        perms = [
-            rng.permutation(num_graphs)[: steps_per_epoch * BATCH].reshape(
-                steps_per_epoch, BATCH
-            )
-            for _ in range(group)
-        ]
-        perm = jnp.asarray(np.concatenate(perms).astype(np.int32))
-        return epoch_fn(state, data, perm)
+    def grouped_epochs(state, key):
+        key, sub = jax.random.split(key)
+        state, losses = epochs_fn(state, data, sub)
+        return state, losses, key
 
-    state, losses = grouped_epochs(state)  # compile + warm
+    state, losses, key = grouped_epochs(state, key)  # compile + warm
     jax.block_until_ready(losses)
     rounds = 2
     t0 = time.perf_counter()
     for _ in range(rounds):
-        state, losses = grouped_epochs(state)
+        state, losses, key = grouped_epochs(state, key)
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 

@@ -54,7 +54,7 @@ def build_state_and_epoch():
     from lanczosnet_tpu.train.scan_epoch import (
         device_dataset,
         gather_batch,
-        make_scan_train_epoch,
+        make_scan_train_epochs,
     )
     from lanczosnet_tpu.train.step import init_state
 
@@ -80,21 +80,12 @@ def build_state_and_epoch():
     )
     tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
     state = init_state(model, gather_batch(data, jnp.arange(BATCH)), tx, seed=0)
-    epoch_fn = make_scan_train_epoch(model, tx)
-
-    rng = np.random.default_rng(0)
+    del steps_per_epoch  # implied by num_graphs // BATCH inside the program
     group = 10
-
-    def perm():
-        perms = [
-            rng.permutation(num_graphs)[: steps_per_epoch * BATCH].reshape(
-                steps_per_epoch, BATCH
-            )
-            for _ in range(group)
-        ]
-        return jnp.asarray(np.concatenate(perms).astype(np.int32))
-
-    return state, data, epoch_fn, perm
+    epochs_fn = make_scan_train_epochs(
+        model, tx, num_graphs=num_graphs, batch_size=BATCH, epochs=group
+    )
+    return state, data, epochs_fn
 
 
 def _load_xspace(path):
@@ -196,15 +187,15 @@ def main():
 
     from bench import BATCH
 
-    state, data, epoch_fn, perm = build_state_and_epoch()
+    state, data, epochs_fn = build_state_and_epoch()
 
-    state, losses = epoch_fn(state, data, perm())  # compile + warm
+    state, losses = epochs_fn(state, data, jax.random.PRNGKey(1))
     jax.block_until_ready(losses)
     print("compiled; warm loss", float(losses[-1]))
 
     t0 = time.perf_counter()
     with jax.profiler.trace(OUT):
-        state, losses = epoch_fn(state, data, perm())
+        state, losses = epochs_fn(state, data, jax.random.PRNGKey(2))
         print("traced; loss", float(losses[-1]))
     print(f"trace wall {time.perf_counter() - t0:.2f}s")
 
