@@ -74,3 +74,62 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_device_shuffle_epochs_mesh_matches_single_device():
+    """train.device_shuffle under the 8-device DP mesh: the on-device
+    permutation is key-deterministic and replicated before the batch-
+    axis sharding constraint, so grouped-epoch losses/params must match
+    the single-device run bit-for-bit up to reduction order."""
+    from lanczosnet_tpu.train.optim import build_optimizer
+    from lanczosnet_tpu.train.scan_epoch import (
+        device_dataset,
+        make_scan_train_epochs,
+    )
+    from lanczosnet_tpu.train.step import init_state
+    from lanczosnet_tpu.data.dataset import pack_dataset
+    from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+    from tests.test_train import tiny_model
+
+    num, bs, epochs = 32, 16, 2
+    graphs = synthetic_qm8_graphs(num, seed=0, n_lo=4, n_hi=8)
+    ds = pack_dataset(graphs, n_max=10, num_eig_vec=4, standardize=True)
+    model = tiny_model("LanczosNet", num_eig_vec=4,
+                       short_diffusion_dist=[1, 2],
+                       long_diffusion_dist=[3, 5])
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+    key = jax.random.PRNGKey(11)
+
+    # single device
+    data1 = device_dataset(ds)
+    batch0 = jax.tree.map(lambda x: x[:bs], data1)
+    s1 = init_state(model, batch0, tx, seed=0)
+    fn1 = make_scan_train_epochs(
+        model, tx, num_graphs=num, batch_size=bs, epochs=epochs
+    )
+    s1, l1 = fn1(s1, data1, key)
+
+    # 8-device mesh
+    mesh = make_mesh(8)
+    rsh = replicate_sharding(mesh)
+    psh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data")
+    )
+    data8 = device_dataset(ds, rsh)
+    s8 = init_state(model, batch0, tx, seed=0)
+    s8 = jax.tree.map(lambda x: jax.device_put(x, rsh), s8)
+    fn8 = make_scan_train_epochs(
+        model, tx, num_graphs=num, batch_size=bs, epochs=epochs,
+        perm_sharding=psh,
+    )
+    s8, l8 = fn8(s8, data8, key)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        jax.device_get(s1.params),
+        jax.device_get(s8.params),
+    )
