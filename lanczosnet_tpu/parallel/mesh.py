@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lanczosnet_tpu.parallel.multihost import global_put
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -39,6 +40,63 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh2d(
+    tp: int, n_devices: Optional[int] = None, devices=None
+) -> Mesh:
+    """2-D ``(data, model)`` mesh: tensor parallelism × data parallelism.
+
+    ``tp`` devices along ``"model"`` hold feature shards of every weight
+    matrix (`tp_state_sharding`); the remaining factor is the ``"data"``
+    batch axis. On a TPU slice lay ``tp`` along the fastest ICI
+    dimension — the per-layer collectives GSPMD inserts (all-gathers of
+    feature-sharded activations, reduce-scatters of their cotangents)
+    ride neighbor links, while the once-per-step gradient all-reduce
+    crosses the ``data`` axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(devices) % tp:
+        raise ValueError(f"tp={tp} must divide device count {len(devices)}")
+    dp = len(devices) // tp
+    return Mesh(
+        np.asarray(devices).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS)
+    )
+
+
+def tp_state_sharding(tree, mesh: Mesh):
+    """Megatron-style column-parallel shardings for a params/opt-state
+    pytree, by shape rule (SURVEY.md §2.6 has no reference equivalent —
+    the upstream's only parallelism is replicate-everything
+    DataParallel; this is the TPU-native model-parallel axis).
+
+    Every weight matrix ``[…, in, out]`` is sharded ``P(…, "model")``
+    on its output-feature axis, 1-D vectors (biases) follow on their
+    only axis, scalars and indivisible shapes replicate. Params and
+    Adam's ``mu``/``nu`` share leaf shapes, so ONE rule shards the
+    whole `TrainState` — per-device parameter + optimizer memory is
+    ``1/tp``. No hand-written collectives: `jax.jit` propagates these
+    shardings through the model (diffusion/spectral ops contract over
+    the node axis, so feature-sharded activations pass through them
+    untouched) and inserts the all-gather / reduce-scatter pairs at
+    layer boundaries over ICI.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 2 and shape[-1] % tp == 0 and shape[-1] >= tp:
+            return NamedSharding(
+                mesh, P(*(None,) * (len(shape) - 1), MODEL_AXIS)
+            )
+        if len(shape) == 1 and shape[0] % tp == 0 and shape[0] >= tp:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

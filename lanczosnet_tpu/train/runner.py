@@ -28,7 +28,14 @@ from lanczosnet_tpu.data.dataset import LabelStats, PackedDataset, load_packed, 
 from lanczosnet_tpu.data.loader import BatchLoader, prefetch_to_device
 from lanczosnet_tpu.data.qm8 import import_reference_pickles, synthetic_qm8_graphs
 from lanczosnet_tpu.models import build_model
-from lanczosnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from lanczosnet_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    make_mesh2d,
+    replicate_sharding,
+    tp_state_sharding,
+)
 from lanczosnet_tpu.parallel import multihost
 from lanczosnet_tpu.train.checkpoint import Checkpointer
 from lanczosnet_tpu.train.optim import build_optimizer
@@ -99,17 +106,35 @@ class QM8Runner:
 
         bs = int(config.train.batch_size)
         ndev = int(config.train.get("num_devices", 0)) or len(jax.devices())
-        self.mesh = make_mesh(_largest_divisor_leq(bs, ndev))
+        # train.tp > 1: 2-D (data, model) mesh — weight matrices and
+        # Adam moments feature-sharded 1/tp per device (tp_state_sharding),
+        # batch over the remaining data axis
+        self.tp = int(config.train.get("tp", 1))
+        if self.tp > 1:
+            dp = _largest_divisor_leq(bs, max(1, ndev // self.tp))
+            self.mesh = make_mesh2d(self.tp, dp * self.tp)
+        else:
+            self.mesh = make_mesh(_largest_divisor_leq(bs, ndev))
+        self.dp = int(self.mesh.shape[DATA_AXIS])
         self.sharding = batch_sharding(self.mesh)
         self.log.info(
-            "runner: model=%s devices=%d batch=%d train/val/test=%d/%d/%d n_max=%s",
-            mcfg["name"], self.mesh.size, bs,
+            "runner: model=%s devices=%d (dp=%d tp=%d) batch=%d "
+            "train/val/test=%d/%d/%d n_max=%s",
+            mcfg["name"], self.mesh.size, self.dp, self.tp, bs,
             _total(self.datasets["train"]), _total(self.datasets["val"]),
             _total(self.datasets["test"]),
             sorted(self.datasets["train"])
             if isinstance(self.datasets["train"], dict)
             else self.datasets["train"].n_max,
         )
+
+    def _place_state(self, state, rsh=None):
+        """Lay the TrainState out on the mesh: feature-sharded 1/tp
+        under tensor parallelism, replicated otherwise."""
+        if self.tp > 1:
+            return jax.device_put(state, tp_state_sharding(state, self.mesh))
+        rsh = rsh if rsh is not None else replicate_sharding(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, rsh), state)
 
     # ---------------------------------------------------------------- data
     def _build_datasets(self, dcfg) -> dict[str, PackedDataset]:
@@ -341,7 +366,7 @@ class QM8Runner:
             tx,
             seed=int(cfg.seed),
         )
-        state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+        state = self._place_state(state, rsh)
 
         start_epoch = 0
         best_val = float("inf")
@@ -388,7 +413,7 @@ class QM8Runner:
                                 self.model, tx,
                                 num_graphs=g_b, batch_size=bs,
                                 epochs=group,
-                                perm_sharding=psh if self.mesh.size > 1 else None,
+                                perm_sharding=psh if self.dp > 1 else None,
                             )
                         shuffle_key, sub = jax.random.split(shuffle_key)
                         state, losses = fn(state, d, sub)
@@ -417,7 +442,7 @@ class QM8Runner:
                     pair_fn = self._pair_fn
                     # half-batches shard over the mesh only when they
                     # divide it; otherwise replicate (correct, no DP cut)
-                    pair_sh = psh if half % self.mesh.size == 0 else rsh
+                    pair_sh = psh if half % self.dp == 0 else rsh
                     for _ in range(group):
                         pools = {}
                         for b, d in buckets["train"].items():
@@ -557,6 +582,7 @@ class QM8Runner:
         example, example_valid = next(iter(train_loader.epoch()))
         example = jax.tree.map(lambda x: jax.device_put(x, self.sharding), example)
         state = init_state(self.model, example, tx, seed=int(cfg.seed))
+        state = self._place_state(state)
         cost_logged = False
 
         start_epoch = 0
