@@ -382,6 +382,9 @@ class QM8Runner:
             )
         elif tcfg.get("resume_model"):
             state = Checkpointer.restore_file(tcfg["resume_model"], state)
+        if start_epoch or tcfg.get("resume_model"):
+            # msgpack restore yields host arrays — re-pin the mesh layout
+            state = self._place_state(state, rsh)
         valid_every = int(tcfg.get("valid_epoch", 1))
         max_epoch = int(tcfg.get("max_epoch", 10))
         self.log.info(
@@ -600,6 +603,9 @@ class QM8Runner:
         elif tcfg.get("resume_model"):
             state = Checkpointer.restore_file(tcfg["resume_model"], state)
             self.log.info("warm-started from %s", tcfg["resume_model"])
+        if start_epoch or tcfg.get("resume_model"):
+            # msgpack restore yields host arrays — re-pin the mesh layout
+            state = self._place_state(state)
         display_iter = int(tcfg.get("display_iter", 50))
         valid_every = int(tcfg.get("valid_epoch", 1))
         max_epoch = int(tcfg.get("max_epoch", 10))

@@ -133,7 +133,34 @@ def test_node_sharded_forward_and_grads_match_single_device(name):
         return masked_ce(logits, ys, ms)
 
     l0, g0 = jax.jit(jax.value_and_grad(loss_single))(params)
-    l1, g1 = jax.jit(jax.value_and_grad(loss_sharded))(params)
+    vg_sharded = jax.jit(jax.value_and_grad(loss_sharded))
+    l1, g1 = vg_sharded(params)
+    if not np.isfinite(float(l1)):
+        # Forensics for the order-dependent flake (VERDICT r2 weak #1):
+        # it reproduces only inside a full-suite process (~40% of runs),
+        # so on the rare hit, distinguish a nondeterministic-execution
+        # race (retry of the SAME executable differs) from a poisoned
+        # trace/compile (fresh retrace still NaN), and localize which
+        # node blocks went non-finite.
+        l1_retry, _ = vg_sharded(params)
+        vg_fresh = jax.jit(
+            jax.value_and_grad(lambda p: loss_sharded(p))
+        )
+        l1_fresh, _ = vg_fresh(params)
+        logits = jax.jit(
+            lambda p: sharded_sparse_apply(mesh, model, p, xs, sop)
+        )(params)
+        arr = np.asarray(logits)
+        bad_rows = np.where(~np.isfinite(arr).all(axis=-1))[0]
+        n_loc = arr.shape[0] // 8
+        pytest.fail(
+            f"sharded loss non-finite: first={float(l1)!r}, "
+            f"retry_same_executable={float(l1_retry)!r}, "
+            f"fresh_trace={float(l1_fresh)!r}, "
+            f"single_device={float(l0)!r}, "
+            f"non-finite logit rows {bad_rows[:64].tolist()} "
+            f"(device blocks {sorted(set((bad_rows // max(n_loc, 1)).tolist()))})"
+        )
     np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5, atol=2e-6)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),

@@ -119,3 +119,11 @@ def test_tp_runner_end_to_end(tmp_path):
     runner.train()
     res = runner.test()
     assert np.isfinite(res["test_mae"])
+    # resume path: msgpack restore yields host arrays; the runner must
+    # re-pin the tp layout before training on
+    cfg.train.is_resume = True
+    cfg.train.max_epoch = int(cfg.train.max_epoch) + 1
+    runner2 = build_runner(cfg)
+    runner2.train()
+    res2 = runner2.test()
+    assert np.isfinite(res2["test_mae"])
