@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from lanczosnet_tpu.models.base import MLP
 from lanczosnet_tpu.ops.sparse import (
     SparseOp,
+    collective_safe_unroll,
     gat_attention,
     learned_kernel_op,
     live_degree,
@@ -271,7 +272,10 @@ class SparseMPNN(nn.Module):
             cand = jnp.tanh(ci + reset * cs)
             return (1.0 - update) * state + update * cand, None
 
-        h, _ = jax.lax.scan(step, h, None, length=self.num_prop)
+        h, _ = jax.lax.scan(
+            step, h, None, length=self.num_prop,
+            unroll=collective_safe_unroll(op, self.num_prop),
+        )
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 

@@ -156,8 +156,31 @@ def lanczos_tridiag_matvec(
         (q_buf, _, _), (alphas, betas) = jax.lax.scan(
             step, (q_buf, jnp.zeros((), dtype), q_prev0),
             jnp.arange(k),
+            unroll=_collective_safe_unroll(axis, k),
         )
     return alphas, betas[:-1], q_buf
+
+
+def _collective_safe_unroll(axis: str | None, length: int) -> int:
+    """Full unroll for loops whose BODY contains collectives, on CPU.
+
+    XLA:CPU's in-process collectives rendezvous on (run_id, op_id); a
+    multi-trip `while` re-executes the SAME collective instruction each
+    iteration, so every trip reuses one rendezvous key. Under thread
+    starvation (the forced 8-virtual-device test mesh on few cores) a
+    device straggling in iteration i's rendezvous gets joined by peers
+    already at iteration i+1 — 9 participants for an 8-way collective,
+    observed as a hard `use_count 9 vs 8` CHECK or, worse, silently
+    mixed buffers (the r2/r3 order-dependent NaN in the node-sharded
+    AdaLanczosNet test: same executable, same inputs, NaN once then the
+    exact correct loss on retry — scripts/repro_ada_nan.py reproduces
+    it on demand). Fully unrolling gives every collective its own HLO
+    instruction, so no two in-flight rendezvous share a key. TPU (and
+    unsharded) programs are untouched.
+    """
+    if axis is not None and jax.default_backend() == "cpu":
+        return max(int(length), 1)
+    return 1
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lanczosnet_tpu.ops.eigh import eigh_dispatch
-from lanczosnet_tpu.ops.lanczos import lanczos_tridiag_matvec, tridiag_matrix
+from lanczosnet_tpu.ops.lanczos import (
+    _collective_safe_unroll,
+    lanczos_tridiag_matvec,
+    tridiag_matrix,
+)
 
 
 @flax.struct.dataclass
@@ -223,8 +227,12 @@ def ring_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
         block = jax.lax.ppermute(block, rop.axis, perm)
         return (block, acc), None
 
+    # unroll: every ppermute gets its own HLO instruction on the CPU
+    # test mesh — a multi-trip ring reuses one rendezvous key per hop
+    # (see ops/lanczos.py:_collective_safe_unroll)
     (_, acc), _ = jax.lax.scan(
-        step, (x, acc0), jnp.arange(d, dtype=jnp.int32)
+        step, (x, acc0), jnp.arange(d, dtype=jnp.int32),
+        unroll=_collective_safe_unroll(rop.axis, d),
     )
     return acc
 
@@ -257,7 +265,8 @@ def ring_mean_spmv(rop: RingOp, x: jnp.ndarray) -> jnp.ndarray:
         return (block, acc, deg), None
 
     (_, acc, deg), _ = jax.lax.scan(
-        step, (x, acc0, deg0), jnp.arange(d, dtype=jnp.int32)
+        step, (x, acc0, deg0), jnp.arange(d, dtype=jnp.int32),
+        unroll=_collective_safe_unroll(rop.axis, d),
     )
     deg = jnp.maximum(deg, 1.0)
     return acc / (deg[:, None] if x.ndim == 2 else deg)
@@ -360,7 +369,8 @@ def gat_attention(
         return (s_blk, hp_blk, m_new, den, acc), None
 
     (_, _, m, den, acc), _ = jax.lax.scan(
-        step, (s_src, hp, m0, den0, acc0), jnp.arange(d, dtype=jnp.int32)
+        step, (s_src, hp, m0, den0, acc0), jnp.arange(d, dtype=jnp.int32),
+        unroll=_collective_safe_unroll(op.axis, d),
     )
     # fold the implicit self-edge exactly like the sparse path does
     m_fin = jnp.maximum(m, jax.lax.stop_gradient(self_logits))
@@ -395,7 +405,8 @@ def partition_masks(op, part: jnp.ndarray):
         return block, (src, same_s)
 
     _, (srcs, same_steps) = jax.lax.scan(
-        step, part, jnp.arange(d, dtype=jnp.int32)
+        step, part, jnp.arange(d, dtype=jnp.int32),
+        unroll=_collective_safe_unroll(op.axis, d),
     )
     # scan stacks in STEP order; edge slices are indexed by SOURCE block
     same = jnp.zeros(op.val.shape, bool).at[srcs].set(same_steps)
@@ -430,7 +441,8 @@ def learned_kernel_op(op, emb: jnp.ndarray, eps: float = 1e-12):
         return block, (src, k_s)
 
     _, (srcs, k_steps) = jax.lax.scan(
-        kstep, emb, jnp.arange(d, dtype=jnp.int32)
+        kstep, emb, jnp.arange(d, dtype=jnp.int32),
+        unroll=_collective_safe_unroll(op.axis, d),
     )
     kval = jnp.zeros(op.val.shape, emb.dtype).at[srcs].set(k_steps)
     # destination bucketing: EVERY incoming edge of a local row is in
@@ -449,10 +461,23 @@ def learned_kernel_op(op, emb: jnp.ndarray, eps: float = 1e-12):
         return block, (src, v_s)
 
     _, (srcs2, v_steps) = jax.lax.scan(
-        nstep, inv, jnp.arange(d, dtype=jnp.int32)
+        nstep, inv, jnp.arange(d, dtype=jnp.int32),
+        unroll=_collective_safe_unroll(op.axis, d),
     )
     val = jnp.zeros(op.val.shape, emb.dtype).at[srcs2].set(v_steps)
     return op.replace(val=val)
+
+
+def collective_safe_unroll(op, length: int) -> int:
+    """Unroll factor for a loop whose body applies a (possibly sharded)
+    COO op — full unroll on the CPU test mesh so every collective the
+    body emits gets its own HLO instruction per trip (rendezvous-key
+    reuse hazard, ops/lanczos.py:_collective_safe_unroll); 1 elsewhere."""
+    axis = (
+        op.axis if isinstance(op, RingOp)
+        else (op.gather_axis if op.gather_axis is not None else op.axis)
+    )
+    return _collective_safe_unroll(axis, length)
 
 
 def gather_nodes(op: SparseOp, x: jnp.ndarray) -> jnp.ndarray:

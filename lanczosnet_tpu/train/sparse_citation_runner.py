@@ -484,10 +484,21 @@ class SparseCitationRunner:
         # when step time ≪ dispatch, i.e. Cora/Citeseer-sized graphs.
         group_size = max(1, int(tcfg.get("valid_epoch", 1)))
 
+        # On the CPU test mesh a sharded step_body's collectives must not
+        # repeat inside a multi-trip loop (rendezvous-key reuse across
+        # trips — ops/lanczos.py:_collective_safe_unroll), so the epoch
+        # group fully unrolls there; TPU keeps the compact scan.
+        unroll_all = (
+            self.mesh is not None
+            and self.mesh.size > 1
+            and jax.default_backend() == "cpu"
+        )
+
         @partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
         def scanned_steps(state, data, n):
             return jax.lax.scan(
-                lambda c, _: step_body(c, data), state, None, length=n
+                lambda c, _: step_body(c, data), state, None, length=n,
+                unroll=n if unroll_all else 1,
             )
 
         @jax.jit

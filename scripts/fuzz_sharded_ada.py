@@ -12,6 +12,7 @@ CPU mesh:
 import os
 import sys
 
+os.environ["JAX_PLATFORMS"] = "cpu"  # before jax import: block other PJRT plugins
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
