@@ -19,6 +19,13 @@ os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+    # 8-way collective rendezvous on a 1-core host: under load a
+    # participant can straggle past the default 20 s warn / 40 s
+    # terminate and the terminate path hard-aborts the whole pytest
+    # process (observed in scripts/repro_ada_nan.py) — give stragglers
+    # room instead
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=300"
 ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
