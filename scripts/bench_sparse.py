@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Sparse-path step-time sweep: dtype x feature-width on one chip.
+
+Measures the full sparse GCN train step (fwd + bwd + Adam) on a
+synthetic million-node citation graph across ``model.dtype``
+{float32, bfloat16} and feature widths F, to locate the bf16 crossover
+the gather analysis predicts (PARITY.md "Sparse-path scatters"): each
+COO edge gather/scatter reads or writes one F-wide node row, and HBM
+serves them in 512 B transactions — at F=128 an f32 row is exactly one
+transaction so bf16's half-rows buy nothing, while at F>=256 halving
+the bytes halves the transactions per row and bf16 should win the
+memory-bound step.
+
+Timing protocol (CLAUDE.md): the measured unit is ONE jitted program
+that scans `--steps` train steps; completion is forced by fetching the
+final loss scalar (block_until_ready is unreliable over the axon
+tunnel). Run-to-run variance on this box is ~±10%.
+
+Usage (on the TPU):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_sparse.py \
+        --nodes 1000000 --degree 2.5 --feat 128,256,512 --steps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
+
+
+def build_step(model, tx, x, op, labels, train_mask):
+    def step_body(state, _):
+        params, opt_state, rng = state
+        rng, dr = jax.random.split(rng)
+
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p}, x, op,
+                deterministic=False, rngs={"dropout": dr},
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            )
+            return jnp.sum(ce * train_mask) / jnp.maximum(
+                jnp.sum(train_mask), 1.0
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+        return (params, opt_state, rng), loss
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
+    def scanned(state, n):
+        return jax.lax.scan(step_body, state, None, length=n)
+
+    return scanned
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--degree", type=float, default=2.5)
+    ap.add_argument("--feat", type=str, default="128,256")
+    ap.add_argument("--hidden", type=int, default=0,
+                    help="hidden width (default: same as F)")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    set_prng_impl()
+
+    from lanczosnet_tpu.data.citation import synthetic_citation_edges
+    from lanczosnet_tpu.models.sparse_nodes import SparseGCN
+    from lanczosnet_tpu.ops.sparse import sparse_sym_operator
+
+    results = []
+    for f in [int(s) for s in args.feat.split(",")]:
+        graph = synthetic_citation_edges(
+            args.nodes, num_class=10, feat_dim=f,
+            avg_degree=args.degree, seed=7,
+        )
+        n = graph["features"].shape[0]
+        op = sparse_sym_operator(graph["edges"], n)
+        x32 = jnp.asarray(graph["features"])
+        labels = jnp.asarray(graph["labels"].astype("int32"))
+        mask = jnp.asarray(graph["train_mask"].astype("float32"))
+        h = args.hidden or f
+        for dt_name in args.dtypes.split(","):
+            dt = jnp.bfloat16 if dt_name in ("bfloat16", "bf16") else jnp.float32
+            model = SparseGCN(
+                hidden_dim=(h, h), num_class=10, dropout=0.5, dtype=dt
+            )
+            tx = optax.adam(1e-2)
+            rng = jax.random.PRNGKey(0)
+            params = model.init(
+                {"params": rng, "dropout": rng}, x32, op, deterministic=True
+            )["params"]
+            state = (params, tx.init(params), rng)
+            scanned = build_step(model, tx, x32, op, labels, mask)
+            state, losses = scanned(state, args.steps)  # compile + warm
+            float(losses[-1])
+            t0 = time.perf_counter()
+            state, losses = scanned(state, args.steps)
+            final = float(losses[-1])  # forces completion
+            dt_s = time.perf_counter() - t0
+            ms = dt_s / args.steps * 1e3
+            row = {
+                "nodes": n, "edges": int(op.row.shape[0]), "F": f,
+                "hidden": h, "dtype": dt_name, "ms_per_step": round(ms, 1),
+                "loss": round(final, 4),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    # f32/bf16 ratio per F
+    byf = {}
+    for r in results:
+        byf.setdefault(r["F"], {})[r["dtype"]] = r["ms_per_step"]
+    for f, d in sorted(byf.items()):
+        if "float32" in d and "bfloat16" in d:
+            print(f"F={f}: bf16 speedup over f32 = "
+                  f"{d['float32'] / d['bfloat16']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
