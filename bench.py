@@ -133,17 +133,15 @@ def bench_jax() -> dict:
     )
     key = jax.random.PRNGKey(0)
 
-    def grouped_epochs(state, key):
-        key, sub = jax.random.split(key)
-        state, losses = epochs_fn(state, data, sub)
-        return state, losses, key
-
-    state, losses, key = grouped_epochs(state, key)  # compile + warm
+    # one program dispatch per group: the PRNG-key chain advances inside
+    # the compiled program (a host-side jax.random.split is itself a
+    # tiny jitted program and pays a full tunnel round trip per group)
+    state, losses, key = epochs_fn(state, data, key)  # compile + warm
     jax.block_until_ready(losses)
     rounds = 2
     t0 = time.perf_counter()
     for _ in range(rounds):
-        state, losses, key = grouped_epochs(state, key)
+        state, losses, key = epochs_fn(state, data, key)
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 

@@ -418,8 +418,9 @@ class QM8Runner:
                                 epochs=group,
                                 perm_sharding=psh if self.dp > 1 else None,
                             )
-                        shuffle_key, sub = jax.random.split(shuffle_key)
-                        state, losses = fn(state, d, sub)
+                        # one dispatch per group: the key chain advances
+                        # inside the compiled program
+                        state, losses, shuffle_key = fn(state, d, shuffle_key)
                     else:
                         perm = _np.concatenate(
                             [

@@ -116,7 +116,7 @@ def make_scan_train_epochs(
     perm_sharding=None,
 ) -> Callable:
     """Device-shuffled multi-epoch program: (state, data, key) →
-    (state, losses [epochs·S]).
+    (state, losses [epochs·S], next_key).
 
     The perm-fed path (`make_scan_train_epoch`) ships a
     [epochs·S, B] int32 permutation from the host every dispatch; over
@@ -126,6 +126,13 @@ def make_scan_train_epochs(
     `jax.random.permutation` ON DEVICE inside an outer scan, so the
     only per-dispatch traffic is one PRNG key in and the losses out —
     the host's role shrinks to O(1) per validation interval.
+
+    The key chain advances INSIDE the program (`next_key, sub =
+    split(key)`; epoch keys derive from ``sub``) so a training group is
+    exactly ONE program dispatch — a host-side `jax.random.split` is
+    itself a jitted single-op program and pays a full tunnel round trip
+    per call on this box. Callers thread the returned ``next_key`` into
+    the next group.
 
     `epochs` is static (compiled into the program); the runner compiles
     at most two variants (the steady group and a final remainder).
@@ -138,6 +145,7 @@ def make_scan_train_epochs(
     @partial(jax.jit, donate_argnums=(0,))
     def epochs_fn(state: TrainState, data: GraphBatch, key: jnp.ndarray):
         body = _make_step_body(model, tx, data)
+        next_key, sub = jax.random.split(key)
 
         def epoch_body(state, ekey):
             perm = jax.random.permutation(ekey, num_graphs)[
@@ -150,9 +158,9 @@ def make_scan_train_epochs(
             )
 
         state, losses = jax.lax.scan(
-            epoch_body, state, jax.random.split(key, epochs)
+            epoch_body, state, jax.random.split(sub, epochs)
         )
-        return state, losses.reshape(-1)
+        return state, losses.reshape(-1), next_key
 
     return epochs_fn
 

@@ -189,13 +189,13 @@ def main():
 
     state, data, epochs_fn = build_state_and_epoch()
 
-    state, losses = epochs_fn(state, data, jax.random.PRNGKey(1))
+    state, losses, _ = epochs_fn(state, data, jax.random.PRNGKey(1))
     jax.block_until_ready(losses)
     print("compiled; warm loss", float(losses[-1]))
 
     t0 = time.perf_counter()
     with jax.profiler.trace(OUT):
-        state, losses = epochs_fn(state, data, jax.random.PRNGKey(2))
+        state, losses, _ = epochs_fn(state, data, jax.random.PRNGKey(2))
         print("traced; loss", float(losses[-1]))
     print(f"trace wall {time.perf_counter() - t0:.2f}s")
 

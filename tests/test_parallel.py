@@ -107,7 +107,7 @@ def test_device_shuffle_epochs_mesh_matches_single_device():
     fn1 = make_scan_train_epochs(
         model, tx, num_graphs=num, batch_size=bs, epochs=epochs
     )
-    s1, l1 = fn1(s1, data1, key)
+    s1, l1, _ = fn1(s1, data1, key)
 
     # 8-device mesh
     mesh = make_mesh(8)
@@ -122,7 +122,7 @@ def test_device_shuffle_epochs_mesh_matches_single_device():
         model, tx, num_graphs=num, batch_size=bs, epochs=epochs,
         perm_sharding=psh,
     )
-    s8, l8 = fn8(s8, data8, key)
+    s8, l8, _ = fn8(s8, data8, key)
 
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
                                rtol=1e-5, atol=1e-6)

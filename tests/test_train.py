@@ -284,13 +284,15 @@ def test_device_shuffle_matches_perm_fed_path():
     epochs_fn = make_scan_train_epochs(
         model, tx, num_graphs=num, batch_size=bs, epochs=epochs
     )
-    state_a, losses_a = epochs_fn(state_a, data, key)
+    state_a, losses_a, _ = epochs_fn(state_a, data, key)
 
-    # replicate the device shuffle on the host with the same keys
+    # replicate the device shuffle on the host with the same keys (the
+    # program first splits key -> (next_key, sub), epoch keys from sub)
     steps = num // bs
+    _, sub = jax.random.split(key)
     perms = [
         np.asarray(jax.random.permutation(k, num))[: steps * bs]
-        for k in jax.random.split(key, epochs)
+        for k in jax.random.split(sub, epochs)
     ]
     perm = jnp.asarray(
         np.concatenate(perms).reshape(epochs * steps, bs).astype(np.int32)
