@@ -22,13 +22,13 @@ values) are handled in the ops layer — see tests/test_lanczos.py.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.models.lanczos_net import (
     _FUSED_N_MAX,
     SpectralFilterBank,
@@ -57,6 +57,10 @@ class AdaLanczosNet(nn.Module):
     dropout: float = 0.0
     lanczos_impl: str = "auto"  # auto | pallas | scan (ops/lanczos_pallas.py)
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    # model.dtype — bf16 layer-loop activations; the learned kernel,
+    # in-forward Lanczos, and Ritz math stay f32 (spectral invariant:
+    # CLAUDE.md/ops precision notes). Default f32 = pre-knob model.
+    dtype: Any = jnp.float32
 
     @classmethod
     def from_config(cls, cfg: dict) -> "AdaLanczosNet":
@@ -76,6 +80,7 @@ class AdaLanczosNet(nn.Module):
             dropout=cfg.get("dropout", 0.0),
             lanczos_impl=cfg.get("lanczos_impl", "auto"),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     def _learned_operator(self, emb: jnp.ndarray, batch: GraphBatch) -> jnp.ndarray:
@@ -129,15 +134,24 @@ class AdaLanczosNet(nn.Module):
             short_ops = operator_powers(s_op, tuple(self.short_diffusion_dist))
         edge_ops = batch.ops[:, 1:] if batch.num_ops > 1 else None
 
+        # activation dtype switches only NOW — everything above (learned
+        # kernel, Lanczos recursion, Ritz pairs) is f32 by invariant
+        cdt = self.dtype
+        mixed = cdt != jnp.float32
+        h = h.astype(cdt)
+        mask = batch.mask.astype(cdt)
         for li, dim in enumerate(self.hidden_dim):
             filt = filt_bank[:, li] if filt_bank is not None else None
             has_chan = (
                 short_ops is not None or filt is not None or edge_ops is not None
             )
             if fused and has_chan:
-                prop = spectral_layer_channels(h, short_ops, ritz_vec, filt, edge_ops)
+                prop = spectral_layer_channels(
+                    h, short_ops, ritz_vec, filt, edge_ops,
+                    dtype=cdt if mixed else None,
+                )
                 parts = [h, prop]
-                h = nn.Dense(dim, name=f"layer_{li}")(
+                h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
                     jnp.concatenate(parts, axis=-1)
                 )
             else:
@@ -146,18 +160,19 @@ class AdaLanczosNet(nn.Module):
                     short = diffusion_features_at(
                         s_op, h, tuple(self.short_diffusion_dist)
                     )
-                    parts.append(flatten_feature_stack(short))
+                    parts.append(flatten_feature_stack(short).astype(cdt))
                 if filt is not None:
                     long = long_scale_features(ritz_vec, filt, h)
-                    parts.append(flatten_feature_stack(long))
+                    parts.append(flatten_feature_stack(long).astype(cdt))
                 if edge_ops is not None:
-                    parts.append(edge_message_concat(edge_ops, h))
-                h = nn.Dense(dim, name=f"layer_{li}")(
+                    parts.append(edge_message_concat(edge_ops, h).astype(cdt))
+                h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
                     jnp.concatenate(parts, axis=-1)
                 )
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = h * batch.mask[..., None]
+            h = h * mask[..., None]
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -27,6 +27,23 @@ def mae_loss(pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(pred - label))
 
 
+def compute_dtype(name) -> jnp.dtype:
+    """Parse the `model.dtype` config knob into a jnp dtype.
+
+    float32 (default) is bit-identical to the pre-knob models; bfloat16
+    switches the layer-loop ACTIVATIONS to bf16 while params, matmul
+    accumulation, spectral cores, readout, and loss stay f32 (the
+    standard TPU mixed-precision contract, same as the sparse path's
+    `SparseCitationRunner.compute_dtype`)."""
+    if name is None or str(name) in ("", "float32", "f32"):
+        return jnp.float32
+    if str(name) in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(
+        f"model.dtype must be float32 or bfloat16, got {name!r}"
+    )
+
+
 def flatten_feature_stack(x: jnp.ndarray) -> jnp.ndarray:
     """``[B, C, N, F]`` per-channel feature stack → ``[B, N, C·F]``.
 

@@ -26,14 +26,14 @@ vs K·N·F·(1+S) factored — the crossover is ~N=F).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import diffusion_features_at
 from lanczosnet_tpu.ops.spectral import long_scale_features
 
@@ -127,13 +127,17 @@ def channel_stack(
     ritz_vec: jnp.ndarray | None,
     filt: jnp.ndarray | None,
     edge_ops: jnp.ndarray | None,
+    dtype=None,
 ) -> jnp.ndarray:
     """One layer's propagation operators as a single ``[B, C, N, N]``
     stack: ``[S^t… ‖ V f_s(D) Vᵀ… ‖ A_e…]`` in that (c-major) order —
-    the layout both fused appliers below contract against."""
+    the layout both fused appliers below contract against. ``dtype``
+    (model.dtype) casts each channel AFTER its f32 formation so the
+    stack is stored once at activation precision."""
+    cast = (lambda x: x.astype(dtype)) if dtype is not None else (lambda x: x)
     chans = []
     if short_ops is not None:
-        chans.append(short_ops)
+        chans.append(cast(short_ops))
     if filt is not None:
         # M_s = V · diag(f_s(D)) · Vᵀ — explicit low-rank matrices; for
         # N ≤ _FUSED_N_MAX forming them is cheaper than the factored
@@ -144,9 +148,9 @@ def channel_stack(
             ritz_vec,
             dimension_numbers=(((3,), (2,)), ((0,), (0,))),
         )  # [B,S,N,N]
-        chans.append(m)
+        chans.append(cast(m))
     if edge_ops is not None:
-        chans.append(edge_ops)
+        chans.append(cast(edge_ops))
     return jnp.concatenate(chans, axis=1) if len(chans) > 1 else chans[0]
 
 
@@ -156,6 +160,7 @@ def spectral_layer_channels(
     ritz_vec: jnp.ndarray | None,
     filt: jnp.ndarray | None,
     edge_ops: jnp.ndarray | None,
+    dtype=None,
 ) -> jnp.ndarray:
     """One fused matmul for a LanczosNet layer's propagation channels.
 
@@ -167,10 +172,12 @@ def spectral_layer_channels(
     product is the direct win; the per-channel math is unchanged.
     Returns ``[B,N,C·F]``.
     """
-    stack = channel_stack(short_ops, ritz_vec, filt, edge_ops)
+    stack = channel_stack(short_ops, ritz_vec, filt, edge_ops, dtype)
     feats = jnp.einsum(
         "bcij,bjf->bcif", stack, h, preferred_element_type=jnp.float32
     )
+    if dtype is not None:
+        feats = feats.astype(dtype)  # accumulate f32, store at act dtype
     return flatten_feature_stack(feats)
 
 
@@ -241,6 +248,15 @@ class LanczosNet(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    # `model.dtype: bfloat16` — activation/compute dtype for the layer
+    # loop. Params, the spectral filter bank, operator-power formation,
+    # matmul ACCUMULATION (preferred_element_type) and the readout/loss
+    # all stay f32; what bf16 buys is halved VMEM/HBM traffic on the
+    # elementwise+activation side (the r3 step profile charges 16% of
+    # device time to loop fusions and 5.8% to data formatting — both
+    # byte-bound, not FLOP-bound). Default f32 = bit-identical to the
+    # pre-knob model.
+    dtype: Any = jnp.float32
 
     @classmethod
     def from_config(cls, cfg: dict) -> "LanczosNet":
@@ -257,6 +273,7 @@ class LanczosNet(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     @nn.compact
@@ -267,8 +284,11 @@ class LanczosNet(nn.Module):
                 "(batch.ritz_val/ritz_vec); enable them in the dataset config "
                 "or use AdaLanczosNet to compute them in-forward."
             )
-        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        cdt = self.dtype
+        mixed = cdt != jnp.float32
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch).astype(cdt)
         b, n = batch.mask.shape
+        mask = batch.mask.astype(cdt)
         s_op = batch.ops[:, 0]  # merged-graph operator drives diffusion
 
         filt_bank = None
@@ -294,30 +314,34 @@ class LanczosNet(nn.Module):
             )
             if fused and has_chan:
                 prop = spectral_layer_channels(
-                    h, short_ops, batch.ritz_vec, filt, edge_ops
+                    h, short_ops, batch.ritz_vec, filt, edge_ops,
+                    dtype=cdt if mixed else None,
                 )
                 parts = [h, prop]
-                h = nn.Dense(dim, name=f"layer_{li}")(
+                h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
                     jnp.concatenate(parts, axis=-1)
                 )
             else:
+                # large-N factored path: helpers accumulate/emit f32;
+                # cast each part so the concat+Dense run at act dtype
                 parts = [h]
                 if self.short_diffusion_dist:
                     short = diffusion_features_at(
                         s_op, h, tuple(self.short_diffusion_dist)
                     )
-                    parts.append(flatten_feature_stack(short))
+                    parts.append(flatten_feature_stack(short).astype(cdt))
                 if filt is not None:
                     long = long_scale_features(batch.ritz_vec, filt, h)
-                    parts.append(flatten_feature_stack(long))
+                    parts.append(flatten_feature_stack(long).astype(cdt))
                 if edge_ops is not None:
-                    parts.append(edge_message_concat(edge_ops, h))
-                h = nn.Dense(dim, name=f"layer_{li}")(
+                    parts.append(edge_message_concat(edge_ops, h).astype(cdt))
+                h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
                     jnp.concatenate(parts, axis=-1)
                 )
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = h * batch.mask[..., None]
+            h = h * mask[..., None]
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -175,3 +175,81 @@ def test_fused_channel_dense_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_lanczosnet_bf16_activations():
+    """model.dtype: bfloat16 — params stay f32, layer activations run
+    bf16, predictions track the f32 model within bf16 tolerance, and
+    grads are finite f32. Default (no dtype key) must stay f32."""
+    rng = np.random.default_rng(3)
+    batch = _batch_for("LanczosNet", rng)
+    m32 = build_model({**BASE_CFG, "name": "LanczosNet"})
+    m16 = build_model(
+        {**BASE_CFG, "name": "LanczosNet", "dtype": "bfloat16"}
+    )
+    assert m32.dtype == jnp.float32  # default unchanged
+    assert m16.dtype == jnp.bfloat16
+    variables = m32.init(
+        {"params": jax.random.PRNGKey(0)}, batch, deterministic=True
+    )
+    # identical param tree (param_dtype f32 in both)
+    v16 = m16.init(
+        {"params": jax.random.PRNGKey(0)}, batch, deterministic=True
+    )
+    jax.tree.map(
+        lambda a, b: (
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            # params themselves stay f32 under the bf16 knob
+            np.testing.assert_equal(b.dtype, jnp.float32),
+        ),
+        variables["params"], v16["params"],
+    )
+    p32 = np.asarray(m32.apply(variables, batch, deterministic=True))
+    p16 = np.asarray(m16.apply(variables, batch, deterministic=True))
+    assert p16.dtype == np.float32  # readout/loss stay f32
+    np.testing.assert_allclose(p32, p16, rtol=0.05, atol=0.05)
+
+    def loss_fn(params):
+        pred = m16.apply({"params": params}, batch, deterministic=True)
+        return mae_loss(pred, batch.label)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    for g in jax.tree_util.tree_leaves(grads):
+        assert g.dtype == jnp.float32
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ada_lanczosnet_bf16_activations():
+    """Same knob on AdaLanczosNet: the learned kernel + in-forward
+    Lanczos stay f32 (Ritz pairs identical to the f32 model), only the
+    layer loop runs bf16."""
+    rng = np.random.default_rng(4)
+    batch = _batch_for("AdaLanczosNet", rng)
+    m32 = build_model({**BASE_CFG, "name": "AdaLanczosNet"})
+    m16 = build_model(
+        {**BASE_CFG, "name": "AdaLanczosNet", "dtype": "bf16"}
+    )
+    variables = m32.init(
+        {"params": jax.random.PRNGKey(0)}, batch, deterministic=True
+    )
+    p32, i32 = m32.apply(
+        variables, batch, deterministic=True, mutable=["intermediates"]
+    )
+    p16, i16 = m16.apply(
+        variables, batch, deterministic=True, mutable=["intermediates"]
+    )
+    # spectral core unaffected by the activation dtype
+    np.testing.assert_array_equal(
+        np.asarray(i32["intermediates"]["ritz_val"][0]),
+        np.asarray(i16["intermediates"]["ritz_val"][0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(p32), np.asarray(p16), rtol=0.05, atol=0.05
+    )
+
+
+def test_model_dtype_rejects_unknown():
+    with pytest.raises(ValueError, match="model.dtype"):
+        build_model(
+            {**BASE_CFG, "name": "LanczosNet", "dtype": "float16"}
+        )
