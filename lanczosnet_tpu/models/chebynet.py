@@ -10,14 +10,14 @@ loop of `bmm` launches.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import chebyshev_features
 
 
@@ -30,6 +30,7 @@ class ChebyNet(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    dtype: Any = jnp.float32  # model.dtype — bf16 layer activations
 
     @classmethod
     def from_config(cls, cfg: dict) -> "ChebyNet":
@@ -42,24 +43,30 @@ class ChebyNet(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True) -> jnp.ndarray:
-        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        cdt = self.dtype
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch).astype(cdt)
         b, n = batch.mask.shape
+        mask = batch.mask.astype(cdt)
         cheb = jax.vmap(
             lambda op, x: chebyshev_features(op, x, self.poly_order),
             in_axes=(1, None),
             out_axes=1,
         )  # ops [B,E,N,N], x [B,N,F] -> [B,E,P+1,N,F]
         for li, dim in enumerate(self.hidden_dim):
-            feats = cheb(batch.ops, h)
+            # the recurrence promotes to f32 against the f32 operator;
+            # the feature stack is stored at activation dtype
+            feats = cheb(batch.ops, h).astype(cdt)
             feats = jnp.moveaxis(feats, 3, 1).reshape(b, n, -1)
-            h = nn.Dense(dim, name=f"layer_{li}")(feats)
+            h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(feats)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = h * batch.mask[..., None]
+            h = h * mask[..., None]
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

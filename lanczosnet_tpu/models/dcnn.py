@@ -9,14 +9,14 @@ config), mixed per layer by one Dense. Powers come from the
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.poly import diffusion_features
 
 
@@ -29,6 +29,7 @@ class DCNN(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    dtype: Any = jnp.float32  # model.dtype — bf16 layer activations
 
     @classmethod
     def from_config(cls, cfg: dict) -> "DCNN":
@@ -41,26 +42,30 @@ class DCNN(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True) -> jnp.ndarray:
-        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        cdt = self.dtype
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch).astype(cdt)
         b, n = batch.mask.shape
+        mask = batch.mask.astype(cdt)
         diff = jax.vmap(
             lambda op, x: diffusion_features(op, x, self.max_hop),
             in_axes=(1, None),
             out_axes=1,
         )  # -> [B, E, H, N, F]
         for li, dim in enumerate(self.hidden_dim):
-            feats = diff(batch.ops, h)
+            feats = diff(batch.ops, h).astype(cdt)
             feats = jnp.moveaxis(feats, 3, 1).reshape(b, n, -1)
-            h = nn.Dense(dim, name=f"layer_{li}")(
+            h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
                 jnp.concatenate([h, feats], axis=-1)
             )
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = h * batch.mask[..., None]
+            h = h * mask[..., None]
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -11,13 +11,13 @@ matmuls and XLA fuses the masking/softmax chain between them.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, AttentionReadout, NodeEncoder, NodeHead
 from lanczosnet_tpu.ops.masked import masked_softmax
 
 
@@ -26,25 +26,29 @@ class GATLayer(nn.Module):
     num_heads: int
     num_edge_channels: int
     leaky_slope: float = 0.2
+    # activation dtype; scores/softmax/aggregation stay f32 for
+    # stability, only the z projection and the layer output run bf16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self, h: jnp.ndarray, ops: jnp.ndarray, mask: jnp.ndarray
     ) -> jnp.ndarray:
         b, n, _ = h.shape
-        eye = jnp.eye(n, dtype=h.dtype)
+        eye = jnp.eye(n, dtype=jnp.float32)
         outs = []
         for e in range(self.num_edge_channels):
-            z = nn.Dense(self.num_heads * self.out_dim, use_bias=False, name=f"w_{e}")(h)
+            z = nn.Dense(self.num_heads * self.out_dim, use_bias=False, name=f"w_{e}", dtype=self.dtype)(h)
             z = z.reshape(b, n, self.num_heads, self.out_dim)
-            a_src = nn.Dense(self.num_heads, use_bias=False, name=f"a_src_{e}")(h)
-            a_dst = nn.Dense(self.num_heads, use_bias=False, name=f"a_dst_{e}")(h)
-            # scores[b,h,i,j] = leaky(a_src_i + a_dst_j)
-            scores = a_src.transpose(0, 2, 1)[:, :, :, None] + a_dst.transpose(
-                0, 2, 1
-            )[:, :, None, :]
+            a_src = nn.Dense(self.num_heads, use_bias=False, name=f"a_src_{e}", dtype=self.dtype)(h)
+            a_dst = nn.Dense(self.num_heads, use_bias=False, name=f"a_dst_{e}", dtype=self.dtype)(h)
+            # scores[b,h,i,j] = leaky(a_src_i + a_dst_j); softmax in f32
+            scores = (
+                a_src.transpose(0, 2, 1)[:, :, :, None]
+                + a_dst.transpose(0, 2, 1)[:, :, None, :]
+            ).astype(jnp.float32)
             scores = nn.leaky_relu(scores, negative_slope=self.leaky_slope)
-            support = ((ops[:, e] > 0) | (eye > 0)).astype(h.dtype)
+            support = ((ops[:, e] > 0) | (eye > 0)).astype(jnp.float32)
             support = support * mask[:, :, None] * mask[:, None, :]
             att = masked_softmax(scores, support[:, None], axis=-1)  # [B,H,N,N]
             agg = jnp.einsum(
@@ -52,7 +56,7 @@ class GATLayer(nn.Module):
             )
             outs.append(agg)
         out = sum(outs).reshape(b, n, self.num_heads * self.out_dim)
-        return out
+        return out.astype(self.dtype)
 
 
 class GAT(nn.Module):
@@ -64,6 +68,7 @@ class GAT(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    dtype: Any = jnp.float32  # model.dtype — bf16 layer activations
 
     @classmethod
     def from_config(cls, cfg: dict) -> "GAT":
@@ -76,20 +81,24 @@ class GAT(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True) -> jnp.ndarray:
-        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        cdt = self.dtype
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch).astype(cdt)
+        mask = batch.mask.astype(cdt)
         num_e = batch.num_ops
         for li, dim in enumerate(self.hidden_dim):
             per_head = max(dim // self.num_heads, 1)
-            h = GATLayer(per_head, self.num_heads, num_e, name=f"layer_{li}")(
+            h = GATLayer(per_head, self.num_heads, num_e, name=f"layer_{li}", dtype=cdt)(
                 h, batch.ops, batch.mask
             )
             h = nn.elu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = h * batch.mask[..., None]
+            h = h * mask[..., None]
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

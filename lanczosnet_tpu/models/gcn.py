@@ -10,13 +10,13 @@ On TPU the per-edge-type propagation is a single einsum
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
 
 
 class GCN(nn.Module):
@@ -27,6 +27,7 @@ class GCN(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    dtype: Any = jnp.float32  # model.dtype — bf16 layer activations (base.compute_dtype)
 
     @classmethod
     def from_config(cls, cfg: dict) -> "GCN":
@@ -38,20 +39,26 @@ class GCN(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True) -> jnp.ndarray:
-        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        cdt = self.dtype
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch).astype(cdt)
         b, n = batch.mask.shape
+        mask = batch.mask.astype(cdt)
         for li, dim in enumerate(self.hidden_dim):
-            msg = edge_message_concat(batch.ops, h)
-            h = nn.Dense(dim, name=f"layer_{li}")(
+            # propagation accumulates f32 (preferred_element_type), the
+            # result is stored at activation dtype
+            msg = edge_message_concat(batch.ops, h).astype(cdt)
+            h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
                 jnp.concatenate([h, msg], axis=-1)
             )
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = h * batch.mask[..., None]
+            h = h * mask[..., None]
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -33,7 +33,7 @@ the default schedule.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -43,6 +43,7 @@ from lanczosnet_tpu.models.base import (
     AttentionReadout,
     NodeEncoder,
     NodeHead,
+    compute_dtype,
     edge_message_concat,
 )
 
@@ -58,6 +59,7 @@ class GPNN(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    dtype: Any = jnp.float32  # model.dtype — bf16 layer activations
 
     @classmethod
     def from_config(cls, cfg: dict) -> "GPNN":
@@ -72,47 +74,58 @@ class GPNN(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     @nn.compact
     def __call__(self, batch: GraphBatch, deterministic: bool = True) -> jnp.ndarray:
-        h = NodeEncoder(self.num_atom, self.embed_dim)(batch)
+        cdt = self.dtype
+        h = NodeEncoder(self.num_atom, self.embed_dim)(batch).astype(cdt)
         b, n = batch.mask.shape
+        mask = batch.mask.astype(cdt)
         if batch.cluster is None:
             cluster = jnp.zeros((b, n), jnp.int32)  # one big cluster
         else:
             cluster = batch.cluster
-        same = (cluster[:, :, None] == cluster[:, None, :]).astype(h.dtype)
+        # partition masks / operators form in f32 (exact 0/1 structure)
+        same = (cluster[:, :, None] == cluster[:, None, :]).astype(jnp.float32)
         same = same * batch.pair_mask()
         cross = batch.pair_mask() - same
         intra_ops = batch.ops * same[:, None]
         cut_ops = batch.ops * cross[:, None]
         # the cut graph's node set: nodes incident to >=1 cut edge
         # (structure lives in operator channel 0)
-        boundary = (jnp.sum(cut_ops[:, 0] != 0.0, axis=-1) > 0).astype(h.dtype)
-        boundary = (boundary * batch.mask)[..., None]  # [B, N, 1]
+        boundary = (jnp.sum(cut_ops[:, 0] != 0.0, axis=-1) > 0).astype(jnp.float32)
+        boundary = (boundary * batch.mask)[..., None].astype(cdt)  # [B, N, 1]
 
         for li, dim in enumerate(self.hidden_dim):
             for p in range(self.num_prop):
                 for i in range(self.num_intra_prop):
                     z = jnp.concatenate(
-                        [h, edge_message_concat(intra_ops, h)], axis=-1
+                        [h, edge_message_concat(intra_ops, h).astype(cdt)],
+                        axis=-1,
                     )
-                    h = nn.relu(nn.Dense(dim, name=f"intra_{li}_{p}_{i}")(z))
-                    h = h * batch.mask[..., None]
+                    h = nn.relu(
+                        nn.Dense(dim, name=f"intra_{li}_{p}_{i}", dtype=cdt)(z)
+                    )
+                    h = h * mask[..., None]
                 for c in range(self.num_cut_prop):
                     z = jnp.concatenate(
-                        [h, edge_message_concat(cut_ops, h)], axis=-1
+                        [h, edge_message_concat(cut_ops, h).astype(cdt)],
+                        axis=-1,
                     )
-                    upd = nn.relu(nn.Dense(dim, name=f"cut_{li}_{p}_{c}")(z))
+                    upd = nn.relu(
+                        nn.Dense(dim, name=f"cut_{li}_{p}_{c}", dtype=cdt)(z)
+                    )
                     # only the cut graph's own nodes update; interior
                     # nodes pass through untouched (needs matching
                     # width — project once if the layer width changed)
                     if h.shape[-1] != dim:
-                        h = nn.Dense(dim, name=f"carry_{li}_{p}_{c}")(h)
+                        h = nn.Dense(dim, name=f"carry_{li}_{p}_{c}", dtype=cdt)(h)
                     h = boundary * upd + (1.0 - boundary) * h
-                    h = h * batch.mask[..., None]
+                    h = h * mask[..., None]
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -11,14 +11,14 @@ dispatch (the reference pays K eager kernel launches here).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, AttentionReadout, NodeEncoder, NodeHead
 
 
 class MPNN(nn.Module):
@@ -29,6 +29,7 @@ class MPNN(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    dtype: Any = jnp.float32  # model.dtype — bf16 propagation state
 
     @classmethod
     def from_config(cls, cfg: dict) -> "MPNN":
@@ -40,6 +41,7 @@ class MPNN(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            dtype=compute_dtype(cfg.get("dtype")),
         )
 
     @nn.compact
@@ -57,14 +59,22 @@ class MPNN(nn.Module):
         w_in = self.param("gru_w_in", glorot, (dim, 3 * dim))
         w_st = self.param("gru_w_st", glorot, (dim, 3 * dim))
         b_gru = self.param("gru_b", nn.initializers.zeros, (3 * dim,))
-        mask = batch.mask[..., None]
+        cdt = self.dtype
+        # params stay f32; the scan carries/multiplies at activation
+        # dtype (weights cast ONCE outside the step loop)
+        h = h.astype(cdt)
+        w_msg, w_in, w_st, b_gru = (
+            w_msg.astype(cdt), w_in.astype(cdt), w_st.astype(cdt),
+            b_gru.astype(cdt),
+        )
+        mask = batch.mask[..., None].astype(cdt)
 
         def step(state, _):
             z = (state @ w_msg).reshape(b, n, num_e, dim)
             z = jnp.moveaxis(z, 2, 1)  # [B,E,N,F]
             m = jnp.einsum(
                 "beij,bejf->bif", batch.ops, z, preferred_element_type=jnp.float32
-            )
+            ).astype(cdt)
             gates_in = m @ w_in + b_gru
             gates_st = state @ w_st
             zi, ri, ci = jnp.split(gates_in, 3, axis=-1)
@@ -77,6 +87,7 @@ class MPNN(nn.Module):
 
         h, _ = jax.lax.scan(step, h, None, length=self.num_prop)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = h.astype(jnp.float32)  # readout/loss stay f32
         if self.task == "node":
             return NodeHead(self.num_task, self.output_hidden_dim)(h, batch.mask)
         return AttentionReadout(self.num_task, self.output_hidden_dim)(h, batch.mask)

@@ -177,16 +177,16 @@ def test_fused_channel_dense_matches_unfused():
     )
 
 
-def test_lanczosnet_bf16_activations():
-    """model.dtype: bfloat16 — params stay f32, layer activations run
-    bf16, predictions track the f32 model within bf16 tolerance, and
-    grads are finite f32. Default (no dtype key) must stay f32."""
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_bf16_activations(name):
+    """model.dtype: bfloat16 on every dense model — params stay f32,
+    layer activations run bf16, predictions track the f32 model within
+    bf16 tolerance, grads are finite f32, and the default (no dtype
+    key) stays f32."""
     rng = np.random.default_rng(3)
-    batch = _batch_for("LanczosNet", rng)
-    m32 = build_model({**BASE_CFG, "name": "LanczosNet"})
-    m16 = build_model(
-        {**BASE_CFG, "name": "LanczosNet", "dtype": "bfloat16"}
-    )
+    batch = _batch_for(name, rng)
+    m32 = build_model({**BASE_CFG, "name": name})
+    m16 = build_model({**BASE_CFG, "name": name, "dtype": "bfloat16"})
     assert m32.dtype == jnp.float32  # default unchanged
     assert m16.dtype == jnp.bfloat16
     variables = m32.init(
