@@ -56,7 +56,11 @@ def main() -> None:
         if args.only and args.only not in path.stem:
             continue
         cfg_probe = _load(path)
-        ndev = int(cfg_probe.train.get("num_devices", 1))
+        # a tp-tiled config needs at least tp devices (dp = devices // tp)
+        ndev = max(
+            int(cfg_probe.train.get("num_devices", 1)),
+            int(cfg_probe.train.get("tp", 1)),
+        )
         if ndev > len(jax.devices()):
             print(f"skip {path.stem}: needs {ndev} devices "
                   f"(have {len(jax.devices())})", flush=True)
