@@ -133,3 +133,49 @@ def test_device_shuffle_epochs_mesh_matches_single_device():
         jax.device_get(s1.params),
         jax.device_get(s8.params),
     )
+
+
+def test_bf16_model_under_dp_and_tp_mesh():
+    """model.dtype: bfloat16 composes with the mesh modes: the DP-
+    sharded bf16 step matches the single-device bf16 step, and the
+    tp-tiled bf16 step compiles and stays finite (mixed activation
+    dtype under GSPMD weight sharding is a realistic breakage surface)."""
+    from lanczosnet_tpu.parallel.mesh import make_mesh2d, tp_state_sharding
+    from lanczosnet_tpu.train.optim import build_optimizer
+    from lanczosnet_tpu.train.step import init_state, make_train_step
+    from tests.test_train import tiny_batch, tiny_model
+
+    model = tiny_model("LanczosNet", num_eig_vec=4,
+                       short_diffusion_dist=[1, 2],
+                       long_diffusion_dist=[3, 5], dtype="bf16")
+    assert model.dtype == jnp.bfloat16
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+    step = make_train_step(model, tx)
+    batch = jax.tree.map(jnp.asarray, tiny_batch(num=16, n_max=10, num_eig_vec=4))
+    valid = jnp.ones(16)
+
+    s1 = init_state(model, batch, tx, seed=0)
+    s1, loss1 = step(s1, batch, valid)
+
+    mesh = make_mesh(8)
+    bsh, rsh = batch_sharding(mesh), replicate_sharding(mesh)
+    s8 = init_state(model, batch, tx, seed=0)
+    s8 = jax.tree.map(lambda x: jax.device_put(x, rsh), s8)
+    s8, loss8 = step(s8, shard_batch(batch, mesh), jax.device_put(valid, bsh))
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-4)
+
+    # tp=4: feature-sharded f32 weights feeding bf16 compute
+    mesh2 = make_mesh2d(2, 4)
+    stp = init_state(model, batch, tx, seed=0)
+    shardings = tp_state_sharding(stp, mesh2)
+    stp = jax.tree.map(jax.device_put, stp, shardings)
+    btp = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(
+                mesh2, jax.sharding.PartitionSpec("data"))),
+        batch,
+    )
+    vtp = jax.device_put(valid, jax.sharding.NamedSharding(
+        mesh2, jax.sharding.PartitionSpec("data")))
+    stp, loss_tp = step(stp, btp, vtp)
+    assert float(loss_tp) == pytest.approx(float(loss1), rel=1e-4)
