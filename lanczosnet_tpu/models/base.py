@@ -31,10 +31,12 @@ def compute_dtype(name) -> jnp.dtype:
     """Parse the `model.dtype` config knob into a jnp dtype.
 
     float32 (default) is bit-identical to the pre-knob models; bfloat16
-    switches the layer-loop ACTIVATIONS to bf16 while params, matmul
-    accumulation, spectral cores, readout, and loss stay f32 (the
-    standard TPU mixed-precision contract, same as the sparse path's
-    `SparseCitationRunner.compute_dtype`)."""
+    switches the layer-loop ACTIVATIONS to bf16 while params, spectral
+    cores, readout, and loss stay f32, propagation einsums pin f32
+    accumulation via preferred_element_type, and the bf16 Dense/GRU
+    matmuls get f32 accumulation from the TPU MXU's native behavior
+    (the standard TPU mixed-precision contract, same as the sparse
+    path's `SparseCitationRunner.compute_dtype`)."""
     if name is None or str(name) in ("", "float32", "f32"):
         return jnp.float32
     if str(name) in ("bfloat16", "bf16"):

@@ -250,12 +250,15 @@ class LanczosNet(nn.Module):
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
     # `model.dtype: bfloat16` — activation/compute dtype for the layer
     # loop. Params, the spectral filter bank, operator-power formation,
-    # matmul ACCUMULATION (preferred_element_type) and the readout/loss
-    # all stay f32; what bf16 buys is halved VMEM/HBM traffic on the
-    # elementwise+activation side (the r3 step profile charges 16% of
-    # device time to loop fusions and 5.8% to data formatting — both
-    # byte-bound, not FLOP-bound). Default f32 = bit-identical to the
-    # pre-knob model.
+    # and the readout/loss all stay f32; the propagation einsums pin
+    # f32 accumulation via preferred_element_type, while the bf16
+    # nn.Dense matmuls rely on the TPU MXU's native f32 accumulation
+    # for bf16 inputs (on a backend whose bf16 dot accumulates in bf16
+    # they would lose precision). What bf16 buys is halved VMEM/HBM
+    # traffic on the elementwise+activation side (the r3 step profile
+    # charges 16% of device time to loop fusions and 5.8% to data
+    # formatting — both byte-bound, not FLOP-bound). Default f32 =
+    # bit-identical to the pre-knob model.
     dtype: Any = jnp.float32
 
     @classmethod

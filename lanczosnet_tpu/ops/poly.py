@@ -55,6 +55,11 @@ def chebyshev_features(
         nxt = 2.0 * _bmm(op, cur) - prev
         return (cur, nxt), nxt
 
+    # the scan carry must be dtype-stable: _bmm emits f32 (preferred
+    # accumulation type), so promote the seed states once — with bf16
+    # activations the carry would otherwise flip bf16->f32 and fail at
+    # trace time
+    t0, t1 = t0.astype(jnp.float32), t1.astype(jnp.float32)
     _, rest = jax.lax.scan(step, (t0, t1), None, length=order - 1)
     # rest: [order-1, B, N, F] -> [B, order-1, N, F]
     feats = [t0[:, None], t1[:, None]]
@@ -81,7 +86,8 @@ def diffusion_features(
         nxt = _bmm(op, carry)
         return nxt, nxt
 
-    _, powers = jax.lax.scan(step, x, None, length=max_hop)
+    # dtype-stable carry (see chebyshev_features): _bmm emits f32
+    _, powers = jax.lax.scan(step, x.astype(jnp.float32), None, length=max_hop)
     return jnp.moveaxis(powers, 0, 1)
 
 

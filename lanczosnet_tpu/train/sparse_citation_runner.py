@@ -38,6 +38,7 @@ from lanczosnet_tpu.data.citation import (
     synthetic_citation_graph,
 )
 from lanczosnet_tpu.data.partition import sparse_spectral_partition
+from lanczosnet_tpu.models.base import compute_dtype
 from lanczosnet_tpu.models.sparse_nodes import (
     SparseAdaLanczosNet,
     SparseChebyNet,
@@ -257,11 +258,7 @@ class SparseCitationRunner:
         # model.dtype: bfloat16 halves the E·F gather/scatter traffic
         # that bounds the sparse step; params and the spectral core
         # stay f32 (models/sparse_nodes.py dtype contract)
-        dtype_name = str(mcfg.get("dtype", "float32"))
-        self.compute_dtype = (
-            jnp.bfloat16 if dtype_name in ("bfloat16", "bf16")
-            else jnp.float32
-        )
+        self.compute_dtype = compute_dtype(mcfg.get("dtype"))
         self.extras = None
         self.extra_specs = None
         self.init_extras = None  # process-local twin for flax init

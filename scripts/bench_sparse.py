@@ -79,6 +79,7 @@ def main():
     set_prng_impl()
 
     from lanczosnet_tpu.data.citation import synthetic_citation_edges
+    from lanczosnet_tpu.models.base import compute_dtype
     from lanczosnet_tpu.models.sparse_nodes import SparseGCN
     from lanczosnet_tpu.ops.sparse import sparse_sym_operator
 
@@ -95,7 +96,8 @@ def main():
         mask = jnp.asarray(graph["train_mask"].astype("float32"))
         h = args.hidden or f
         for dt_name in args.dtypes.split(","):
-            dt = jnp.bfloat16 if dt_name in ("bfloat16", "bf16") else jnp.float32
+            dt = compute_dtype(dt_name)  # validates; typos raise
+            dt_name = jnp.dtype(dt).name  # normalize ("bf16" -> "bfloat16")
             model = SparseGCN(
                 hidden_dim=(h, h), num_class=10, dropout=0.5, dtype=dt
             )

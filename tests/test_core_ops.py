@@ -162,3 +162,28 @@ def test_ops_with_self_channel():
         np.testing.assert_allclose(
             eye[g], np.diag(np.asarray(batch.mask[g])), atol=1e-6
         )
+
+
+def test_poly_scan_path_bf16_carry():
+    """Orders past the unroll threshold take the lax.scan path, whose
+    carry must be dtype-stable when fed bf16 activations (the step body
+    emits f32 via preferred_element_type) — regression for the r3 bf16
+    knob: poly_order/max_hop > 8 used to TypeError at trace time."""
+    from lanczosnet_tpu.ops.poly import chebyshev_features, diffusion_features
+
+    rng = np.random.default_rng(0)
+    op = jnp.asarray(rng.normal(size=(2, 8, 8)).astype(np.float32)) * 0.1
+    op = 0.5 * (op + op.transpose(0, 2, 1))
+    x16 = jnp.asarray(rng.normal(size=(2, 8, 4)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    for fn, order in ((chebyshev_features, 10), (diffusion_features, 10)):
+        out = fn(op, x16, order)
+        assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+        # scan path must agree with the unrolled path at matching order
+        # (computed in f32 on both sides up to bf16 input rounding)
+        out_f32 = fn(op, x16.astype(jnp.float32), order)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(out_f32),
+            rtol=0.05, atol=0.05,
+        )
