@@ -44,6 +44,7 @@ from lanczosnet_tpu.train.scan_epoch import (
     make_scan_eval,
     make_scan_train_epoch,
     make_scan_train_epochs,
+    make_scan_train_epochs_eval,
 )
 from lanczosnet_tpu.train.step import init_state, make_eval_step, make_train_step
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
@@ -359,6 +360,33 @@ class QM8Runner:
                 mae = self.stats.unstandardize_mae(mae)
             return mae
 
+        # Fused train+eval program (default on): when train and val are
+        # both single-bucket and shuffling is on-device, the whole
+        # validation interval — `valid_epoch` epochs AND the val pass —
+        # is ONE program dispatch (make_scan_train_epochs_eval). The
+        # val batch tables are static across epochs, built once here.
+        fused_eval = (
+            bool(tcfg.get("fused_eval", True))
+            and device_shuffle
+            and len(buckets["train"]) == 1
+            and len(buckets["val"]) == 1
+            and not pairing
+        )
+        fused_fns: dict = {}
+        if fused_eval:
+            (vb, vd), = buckets["val"].items()
+            g_v = len(vd)
+            s_v = -(-g_v // bs)
+            vidx = _np.zeros((s_v, bs), _np.int32)
+            vvalid = _np.zeros((s_v, bs), _np.float32)
+            vidx.reshape(-1)[:g_v] = _np.arange(g_v)
+            vvalid.reshape(-1)[:g_v] = 1.0
+            val_tables = (
+                data["val"][vb],
+                jax.device_put(vidx, psh),
+                jax.device_put(vvalid, psh),
+            )
+
         first_bucket = next(iter(data["train"].values()))
         state = init_state(
             self.model,
@@ -404,12 +432,29 @@ class QM8Runner:
             with trace(
                 Path(cfg.save_dir) / "trace" if epoch == profile_group else None
             ):
+                fused_esum = None
                 if len(data["train"]) == 1:
                     # single shape: the whole group is ONE program call
                     (b, d), = data["train"].items()
                     g_b = len(buckets["train"][b])
                     steps_b = g_b // bs  # > 0, guarded above
-                    if device_shuffle:
+                    if fused_eval:
+                        fn = fused_fns.get(group)
+                        if fn is None:
+                            fn = fused_fns[group] = make_scan_train_epochs_eval(
+                                self.model, tx,
+                                num_graphs=g_b, batch_size=bs,
+                                epochs=group,
+                                perm_sharding=psh if self.dp > 1 else None,
+                            )
+                        # one dispatch per VALIDATION INTERVAL: the group
+                        # trains, the val pass runs on the post-group
+                        # params, and the key chain advances — all inside
+                        # the same compiled program
+                        state, losses, fused_esum, fused_count, shuffle_key = fn(
+                            state, d, shuffle_key, *val_tables
+                        )
+                    elif device_shuffle:
                         fn = epochs_fns.get(group)
                         if fn is None:
                             fn = epochs_fns[group] = make_scan_train_epochs(
@@ -536,7 +581,13 @@ class QM8Runner:
                     "epoch", epoch=epoch - group + i, loss=float(lv),
                     epoch_time_s=epoch_time, graphs_per_sec=gps,
                 )
-            val_mae = eval_split(state.params, "val")
+            if fused_esum is not None:
+                # val errors already computed inside the fused program
+                val_mae = _np.asarray(fused_esum) / max(float(fused_count), 1.0)
+                if self.stats is not None:
+                    val_mae = self.stats.unstandardize_mae(val_mae)
+            else:
+                val_mae = eval_split(state.params, "val")
             mean_mae = float(val_mae.mean())
             self.log.info(
                 "epoch %d | loss %.6f | val MAE %.6f | %.0f graphs/s"

@@ -228,23 +228,91 @@ def make_scan_pair_epoch(model, tx, unroll: int = 2) -> Callable:
     return epoch_fn
 
 
+def _eval_scan(model, params, data: GraphBatch, idx, valid):
+    """Masked |err| sums over (idx, valid) batch tables — the shared
+    body of `make_scan_eval` and the fused train+eval program."""
+
+    def body(carry, xs):
+        i, v = xs
+        batch = gather_batch(data, i)
+        pred = model.apply({"params": params}, batch, deterministic=True)
+        err = jnp.sum(jnp.abs(pred - batch.label) * v[:, None], axis=0)
+        esum, count = carry
+        return (esum + err, count + jnp.sum(v)), None
+
+    t = data.label.shape[-1]
+    (esum, count), _ = jax.lax.scan(
+        body, (jnp.zeros((t,)), jnp.zeros(())), (idx, valid)
+    )
+    return esum, count
+
+
 def make_scan_eval(model) -> Callable:
     """(params, data, idx [S,B], valid [S,B]) → (per-task |err| sums, count)."""
 
     @jax.jit
     def eval_fn(params, data: GraphBatch, idx: jnp.ndarray, valid: jnp.ndarray):
-        def body(carry, xs):
-            i, v = xs
-            batch = gather_batch(data, i)
-            pred = model.apply({"params": params}, batch, deterministic=True)
-            err = jnp.sum(jnp.abs(pred - batch.label) * v[:, None], axis=0)
-            esum, count = carry
-            return (esum + err, count + jnp.sum(v)), None
-
-        t = data.label.shape[-1]
-        (esum, count), _ = jax.lax.scan(
-            body, (jnp.zeros((t,)), jnp.zeros(())), (idx, valid)
-        )
-        return esum, count
+        return _eval_scan(model, params, data, idx, valid)
 
     return eval_fn
+
+
+def make_scan_train_epochs_eval(
+    model,
+    tx,
+    *,
+    num_graphs: int,
+    batch_size: int,
+    epochs: int,
+    unroll: int = 4,
+    perm_sharding=None,
+) -> Callable:
+    """The fused validation-interval program: train `epochs` epochs AND
+    evaluate the resulting params in ONE dispatch.
+
+    (state, data, key, val_data, val_idx [S,B], val_valid [S,B]) →
+    (state, losses [epochs·S], val |err| sums [T], val count, next_key).
+
+    With `valid_epoch: 1` (the reference's per-epoch validation, every
+    shipped qm8 config) the runner previously paid two program
+    dispatches per epoch — the trained group, then `make_scan_eval` —
+    and each dispatch is a full host↔TPU tunnel round trip on this box,
+    comparable to the 12 ms device time of a whole epoch. Evaluating
+    the post-group params inside the same program makes the steady
+    state exactly one dispatch per validation interval; the metric
+    semantics are unchanged (identical to running `make_scan_eval` on
+    the returned state — tests/test_train.py proves equality).
+    """
+    steps = num_graphs // batch_size
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fn(
+        state: TrainState,
+        data: GraphBatch,
+        key: jnp.ndarray,
+        val_data: GraphBatch,
+        val_idx: jnp.ndarray,
+        val_valid: jnp.ndarray,
+    ):
+        body = _make_step_body(model, tx, data)
+        next_key, sub = jax.random.split(key)
+
+        def epoch_body(state, ekey):
+            perm = jax.random.permutation(ekey, num_graphs)[
+                : steps * batch_size
+            ].reshape(steps, batch_size)
+            if perm_sharding is not None:
+                perm = jax.lax.with_sharding_constraint(perm, perm_sharding)
+            return jax.lax.scan(
+                body, state, perm, unroll=max(1, min(unroll, steps))
+            )
+
+        state, losses = jax.lax.scan(
+            epoch_body, state, jax.random.split(sub, epochs)
+        )
+        esum, count = _eval_scan(
+            model, state.params, val_data, val_idx, val_valid
+        )
+        return state, losses.reshape(-1), esum, count, next_key
+
+    return fn

@@ -1,6 +1,8 @@
 """Training-stack tests: jitted step, overfit, checkpoint round-trip,
 runner end-to-end, resume (SURVEY.md §4 integration plan)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 import jax
@@ -326,3 +328,104 @@ def test_runner_device_shuffle_end_to_end(tmp_path):
         runner = build_runner(cfg)
         res = runner.train()
         assert np.isfinite(res["best_val_mae"])
+
+
+def test_fused_train_eval_matches_separate():
+    """make_scan_train_epochs_eval must produce the exact state/losses
+    of make_scan_train_epochs plus the exact val sums of make_scan_eval
+    — it only fuses the two dispatches into one program."""
+    from lanczosnet_tpu.data.dataset import pack_dataset
+    from lanczosnet_tpu.train.scan_epoch import (
+        device_dataset,
+        make_scan_eval,
+        make_scan_train_epochs,
+        make_scan_train_epochs_eval,
+    )
+
+    num, bs, epochs = 12, 4, 2
+    graphs = synthetic_qm8_graphs(num, seed=0, n_lo=4, n_hi=8)
+    ds = pack_dataset(graphs, n_max=10, num_eig_vec=4, standardize=True)
+    vgraphs = synthetic_qm8_graphs(6, seed=1, n_lo=4, n_hi=8)
+    vds = pack_dataset(vgraphs, n_max=10, num_eig_vec=4,
+                       standardize=True, stats=ds.stats)
+    data, vdata = device_dataset(ds), device_dataset(vds)
+    s_v = -(-len(vds) // bs)
+    vidx = np.zeros((s_v, bs), np.int32)
+    vvalid = np.zeros((s_v, bs), np.float32)
+    vidx.reshape(-1)[: len(vds)] = np.arange(len(vds))
+    vvalid.reshape(-1)[: len(vds)] = 1.0
+    vidx, vvalid = jnp.asarray(vidx), jnp.asarray(vvalid)
+
+    model = tiny_model("LanczosNet", num_eig_vec=4,
+                       short_diffusion_dist=[1, 2],
+                       long_diffusion_dist=[3, 5])
+    tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
+    batch0 = jax.tree.map(lambda x: x[:bs], data)
+    key = jax.random.PRNGKey(3)
+
+    sa = init_state(model, batch0, tx, seed=0)
+    fn = make_scan_train_epochs(model, tx, num_graphs=num,
+                                batch_size=bs, epochs=epochs)
+    sa, losses_a, _ = fn(sa, data, key)
+    esum_a, count_a = make_scan_eval(model)(sa.params, vdata, vidx, vvalid)
+
+    sb = init_state(model, batch0, tx, seed=0)
+    fused = make_scan_train_epochs_eval(model, tx, num_graphs=num,
+                                        batch_size=bs, epochs=epochs)
+    sb, losses_b, esum_b, count_b, _ = fused(
+        sb, data, key, vdata, vidx, vvalid
+    )
+    np.testing.assert_allclose(np.asarray(losses_a), np.asarray(losses_b),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(esum_a), np.asarray(esum_b),
+                               rtol=1e-5, atol=1e-6)
+    assert float(count_a) == float(count_b)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        jax.device_get(sa.params), jax.device_get(sb.params),
+    )
+
+
+def test_runner_fused_eval_end_to_end(tmp_path):
+    """The runner with train.fused_eval on (default) and off reports the
+    same per-epoch val MAE trajectory."""
+    import yaml
+    from lanczosnet_tpu.train.runner import build_runner
+    from lanczosnet_tpu.utils.config import load_config
+
+    def run(fused, name):
+        cfg = {
+            "exp_name": name, "runner": "QM8Runner", "seed": 5,
+            "exp_dir": str(tmp_path),
+            "dataset": {"source": "synthetic", "n_max": 12, "num_atom": 8,
+                        "num_train": 64, "num_val": 16, "num_test": 16,
+                        "standardize": True},
+            "model": {"name": "LanczosNet", "hidden_dim": [16, 16],
+                      "embed_dim": 16, "num_eig_vec": 4,
+                      "short_diffusion_dist": [1, 2],
+                      "long_diffusion_dist": [3, 5], "dropout": 0.1},
+            "train": {"optimizer": "Adam", "lr": 1.0e-3, "batch_size": 16,
+                      "max_epoch": 4, "valid_epoch": 2,
+                      "scan_epoch": True, "fused_eval": fused},
+            "test": {"test_model": None},
+        }
+        p = tmp_path / f"{name}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        r = build_runner(load_config(p))
+        out = r.train()
+        import json
+        maes = []
+        for line in (Path(r.run_dir) / "metrics.jsonl").read_text().splitlines():
+            rec = json.loads(line)
+            if rec.get("event") == "val":
+                maes.append(rec["mae"])
+        return out, maes
+
+    out_f, maes_f = run(True, "fused_on")
+    out_s, maes_s = run(False, "fused_off")
+    assert len(maes_f) == len(maes_s) > 0
+    np.testing.assert_allclose(maes_f, maes_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out_f["best_val_mae"], out_s["best_val_mae"],
+                               rtol=1e-5)
