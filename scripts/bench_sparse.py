@@ -35,30 +35,36 @@ import optax
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 
 
-def build_step(model, tx, x, op, labels, train_mask):
-    def step_body(state, _):
-        params, opt_state, rng = state
-        rng, dr = jax.random.split(rng)
-
-        def loss_fn(p):
-            logits = model.apply(
-                {"params": p}, x, op,
-                deterministic=False, rngs={"dropout": dr},
-            )
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                logits.astype(jnp.float32), labels
-            )
-            return jnp.sum(ce * train_mask) / jnp.maximum(
-                jnp.sum(train_mask), 1.0
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda a, u: a + u, params, updates)
-        return (params, opt_state, rng), loss
-
+def build_step(model, tx):
+    # Data enters as jit ARGUMENTS, never closure constants: a closed-over
+    # 1M-node feature matrix is embedded in the serialized HLO and blows
+    # the remote-compile service's request-size limit (HTTP 413, observed
+    # at F=128: 512 MB of inline constants).
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
-    def scanned(state, n):
+    def scanned(state, data, n):
+        x, op, labels, train_mask = data
+
+        def step_body(state, _):
+            params, opt_state, rng = state
+            rng, dr = jax.random.split(rng)
+
+            def loss_fn(p):
+                logits = model.apply(
+                    {"params": p}, x, op,
+                    deterministic=False, rngs={"dropout": dr},
+                )
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), labels
+                )
+                return jnp.sum(ce * train_mask) / jnp.maximum(
+                    jnp.sum(train_mask), 1.0
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda a, u: a + u, params, updates)
+            return (params, opt_state, rng), loss
+
         return jax.lax.scan(step_body, state, None, length=n)
 
     return scanned
@@ -107,11 +113,12 @@ def main():
                 {"params": rng, "dropout": rng}, x32, op, deterministic=True
             )["params"]
             state = (params, tx.init(params), rng)
-            scanned = build_step(model, tx, x32, op, labels, mask)
-            state, losses = scanned(state, args.steps)  # compile + warm
+            data = (x32, op, labels, mask)
+            scanned = build_step(model, tx)
+            state, losses = scanned(state, data, args.steps)  # compile + warm
             float(losses[-1])
             t0 = time.perf_counter()
-            state, losses = scanned(state, args.steps)
+            state, losses = scanned(state, data, args.steps)
             final = float(losses[-1])  # forces completion
             dt_s = time.perf_counter() - t0
             ms = dt_s / args.steps * 1e3

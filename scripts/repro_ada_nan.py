@@ -95,6 +95,22 @@ def main(iters: int = 300) -> int:
     l0, _ = vg(params)
     print(f"baseline sharded loss {float(l0):.6f}", flush=True)
 
+    # Independent unsharded reference: the hazard's worst mode is a
+    # silently WRONG finite loss (mixed rendezvous buffers), which a
+    # finiteness check alone cannot catch.
+    def loss_ref(p):
+        logits = model.apply({"params": p}, x, ref_op)[:n]
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(g["labels"].astype(np.int32))
+        )
+        return jnp.mean(ce)
+
+    ref = float(jax.jit(loss_ref)(params))
+    print(f"unsharded reference loss {ref:.6f}", flush=True)
+    if not (np.isfinite(ref) and abs(float(l0) - ref) <= 2e-5 * abs(ref)):
+        print(f"BASELINE MISMATCH: sharded={float(l0)} unsharded={ref}")
+        return 1
+
     rng = np.random.default_rng(0)
     hits = 0
     for it in range(iters):
@@ -102,17 +118,18 @@ def main(iters: int = 300) -> int:
         l, grads = vg(params)
         lf = float(l)
         gfin = all(bool(jnp.all(jnp.isfinite(v))) for v in jax.tree.leaves(grads))
-        if not (np.isfinite(lf) and gfin):
+        wrong = abs(lf - ref) > 2e-5 * abs(ref)
+        if not (np.isfinite(lf) and gfin) or wrong:
             hits += 1
             l2, _ = vg(params)
             print(
-                f"HIT iter={it}: loss={lf} grads_finite={gfin} "
+                f"HIT iter={it}: loss={lf} (ref {ref}) grads_finite={gfin} "
                 f"retry_same_executable={float(l2)}",
                 flush=True,
             )
         if (it + 1) % 50 == 0:
             print(f"{it + 1}/{iters} iterations, hits={hits}", flush=True)
-    print(f"RESULT: {iters} iterations, {hits} non-finite hits")
+    print(f"RESULT: {iters} iterations, {hits} non-finite/wrong-loss hits")
     return 1 if hits else 0
 
 

@@ -113,14 +113,28 @@ class molnet:
 STUB_RDKIT = "Chem = object()\n"
 
 
-@pytest.fixture()
-def stub_path(tmp_path):
-    stubs = tmp_path / "stubs"
-    (stubs / "deepchem").mkdir(parents=True)
+@pytest.fixture(scope="module")
+def stub_path(tmp_path_factory):
+    stubs = tmp_path_factory.mktemp("stubs")
+    (stubs / "deepchem").mkdir()
     (stubs / "rdkit").mkdir()
     (stubs / "deepchem" / "__init__.py").write_text(STUB_DEEPCHEM)
     (stubs / "rdkit" / "__init__.py").write_text(STUB_RDKIT)
     return stubs
+
+
+@pytest.fixture(scope="module")
+def ingest_out(stub_path, tmp_path_factory):
+    """One successful ingest run shared by the layout + training tests.
+
+    Module-scoped: the subprocess pays ~15 s of cold jax import + pack
+    work; running it once covers both consumers (the strict-gate test
+    keeps its own runs because it exercises failure paths).
+    """
+    out_dir = tmp_path_factory.mktemp("qm8_packed") / "qm8"
+    res = _run(stub_path, out_dir)
+    assert res.returncode == 0, res.stdout + res.stderr
+    return out_dir, res
 
 
 def _run(stubs, out_dir, *extra, unknown=False):
@@ -153,13 +167,11 @@ def _run(stubs, out_dir, *extra, unknown=False):
     )
 
 
-def test_ingest_end_to_end(stub_path, tmp_path):
+def test_ingest_end_to_end(ingest_out):
     """The real script runs: filtering, packing, shared stats, layout."""
     from lanczosnet_tpu.data.dataset import load_packed
 
-    out_dir = tmp_path / "qm8"
-    res = _run(stub_path, out_dir)
-    assert res.returncode == 0, res.stdout + res.stderr
+    out_dir, res = ingest_out
     # 24 train molecules + 1 oversized (filtered by --n-max 12)
     assert "train: 24 molecules" in res.stdout, res.stdout
     assert "val: 8 molecules" in res.stdout
@@ -169,8 +181,8 @@ def test_ingest_end_to_end(stub_path, tmp_path):
     train = splits["train"]
     assert train.atom_type.shape == (24, 12)
     assert train.label.shape == (24, 16)
-    # 4 bond-type channels in the operator stack, padded to n_max
-    assert train.ops.shape[0] == 24 and train.ops.shape[-2:] == (12, 12)
+    # 1 merged + 4 bond-type channels in the operator stack, padded to n_max
+    assert train.ops.shape == (24, 5, 12, 12)
     assert train.ritz_val is not None and train.ritz_val.shape == (24, 4)
     assert train.ritz_vec.shape == (24, 12, 4)
     # atom ids densely mapped H/C/N/O/F -> 1..5; padding 0
@@ -199,11 +211,9 @@ def test_ingest_strict_chemistry_gate(stub_path, tmp_path):
     assert "train: 25 molecules" in res2.stdout  # the Si mol is kept
 
 
-def test_train_from_packed_output(stub_path, tmp_path):
+def test_train_from_packed_output(ingest_out, tmp_path):
     """The ingest output feeds the ordinary dataset.source: packed path."""
-    out_dir = tmp_path / "qm8"
-    res = _run(stub_path, out_dir)
-    assert res.returncode == 0, res.stdout + res.stderr
+    out_dir, _ = ingest_out
 
     from lanczosnet_tpu.train.runner import QM8Runner
     from lanczosnet_tpu.utils.config import load_config
