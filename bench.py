@@ -149,13 +149,42 @@ def bench_jax(dtype: str = "float32") -> dict:
 
     n_graphs_run = rounds * group * steps_per_epoch * BATCH
     gps = n_graphs_run / dt
+
+    # Device-only throughput: trace ONE extra group dispatch and divide
+    # its work by the chip's busy time (top-level XLA-op interval union
+    # = per-op self-time sum). Wall gps pays the host+tunnel dispatch
+    # tax (~24% on this box, PARITY.md); reporting both makes MFU
+    # movement attributable — chip regressions can't hide in host noise
+    # and vice versa (VERDICT r3 weak #1).
+    device_gps = None
+    try:
+        import tempfile
+
+        from lanczosnet_tpu.utils.profiling import device_busy_seconds
+
+        trace_dir = tempfile.mkdtemp(prefix="benchprof")
+        with jax.profiler.trace(trace_dir):
+            state, losses, key = epochs_fn(state, data, key)
+            jax.block_until_ready(losses)
+        busy = device_busy_seconds(trace_dir)
+        if busy:
+            device_gps = group * steps_per_epoch * BATCH / busy
+    except Exception:
+        pass
+
     flops_per_graph = analytic_train_flops_per_graph()
     achieved_tflops = gps * flops_per_graph / 1e12
     peak = PEAK_TFLOPS.get(jax.default_backend())
     return {
         "graphs_per_sec": gps,
+        "device_only_graphs_per_sec": device_gps,
+        "device_time_frac": gps / device_gps if device_gps else None,
         "tflops_per_sec": achieved_tflops,
         "mfu_pct": 100.0 * achieved_tflops / peak if peak else None,
+        "device_mfu_pct": (
+            100.0 * device_gps * flops_per_graph / 1e12 / peak
+            if device_gps and peak else None
+        ),
         "flops_per_graph": flops_per_graph,
     }
 
@@ -266,6 +295,20 @@ def main():
                 "baseline_graphs_per_sec": round(base, 1) if base == base else None,
                 "tflops_per_sec": round(r["tflops_per_sec"], 2),
                 "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+                # chip-only throughput from a traced dispatch (XLA-op
+                # self-time sum): the wall number minus host/tunnel tax
+                "device_only_graphs_per_sec": (
+                    round(r["device_only_graphs_per_sec"], 1)
+                    if r["device_only_graphs_per_sec"] else None
+                ),
+                "device_time_frac": (
+                    round(r["device_time_frac"], 3)
+                    if r["device_time_frac"] else None
+                ),
+                "device_mfu_pct": (
+                    round(r["device_mfu_pct"], 2)
+                    if r["device_mfu_pct"] else None
+                ),
                 "flops_per_graph": round(r["flops_per_graph"]),
             }
         )

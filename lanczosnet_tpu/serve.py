@@ -231,6 +231,7 @@ class MicroBatcher:
         self.max_delay = max_delay_ms / 1e3
         self._q: "queue.Queue[tuple[dict, Future, float]]" = queue.Queue()
         self._latencies: list[float] = []
+        self._batch_sizes: list[int] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -267,13 +268,19 @@ class MicroBatcher:
                 continue
             done = time.perf_counter()
             with self._lock:
+                self._batch_sizes.append(len(batch))
                 for (_, fut, t0), y in zip(batch, preds):
                     self._latencies.append(done - t0)
                     fut.set_result(np.asarray(y))
 
     def latency_stats(self) -> dict:
+        """Per-request latency percentiles plus batch occupancy — how
+        full the coalesced device batches ran (requests/batches). Under
+        saturation occupancy approaching ``predictor.batch_size`` is
+        the throughput story: N clients' requests ride one dispatch."""
         with self._lock:
             lat = np.asarray(self._latencies, np.float64) * 1e3
+            sizes = np.asarray(self._batch_sizes, np.int64)
         if lat.size == 0:
             return {"count": 0}
         return {
@@ -281,6 +288,9 @@ class MicroBatcher:
             "p50_ms": float(np.percentile(lat, 50)),
             "p95_ms": float(np.percentile(lat, 95)),
             "mean_ms": float(lat.mean()),
+            "batches": int(sizes.size),
+            "mean_batch_size": float(sizes.mean()) if sizes.size else 0.0,
+            "max_batch_size": int(sizes.max()) if sizes.size else 0,
         }
 
     def log_stats(self, metrics) -> dict:

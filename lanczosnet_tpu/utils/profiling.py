@@ -90,6 +90,71 @@ def program_cost(fn, *args, **kwargs) -> dict:
         return {}
 
 
+def load_xspace(path: str):
+    """Parse one ``*.xplane.pb`` into an XSpace proto.
+
+    The tensorboard_plugin_profile converter in this image is broken
+    (protobuf descriptor-version mismatch), so we read TF's bundled
+    `tsl` schema directly with the pure-Python protobuf implementation
+    (scripts/profile_step.py does the full per-op table on top of the
+    same loader).
+    """
+    import os
+    import sys
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    tf_dir = "/opt/venv/lib/python3.12/site-packages/tensorflow"
+    if tf_dir not in sys.path:
+        sys.path.insert(0, tf_dir)
+    from tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs
+
+
+def device_busy_seconds(
+    trace_dir: str | Path, plane_suffix: str = "TPU:0"
+) -> Optional[float]:
+    """Device-busy seconds on the accelerator plane of a jax trace.
+
+    Events on the "XLA Ops" timeline are a flattened tree in which a
+    parent op strictly contains its children's intervals, so the union
+    of all intervals — the sum of top-level event durations — equals
+    the per-op self-time sum: time the chip actually spent executing.
+    Dividing work by this instead of wall time removes host + tunnel
+    dispatch overhead (PARITY.md's ~24% device/wall gap), which is why
+    bench.py reports both. Returns None when the trace or the
+    accelerator plane is missing (e.g. CPU backend).
+    """
+    import glob
+
+    files = sorted(
+        glob.glob(str(Path(trace_dir) / "plugins" / "profile" / "*" / "*.xplane.pb"))
+    )
+    if not files:
+        return None
+    try:
+        xs = load_xspace(files[-1])
+        plane = next(
+            (p for p in xs.planes if p.name.endswith(plane_suffix)), None
+        )
+        if plane is None:
+            return None
+        ops = next((l for l in plane.lines if l.name == "XLA Ops"), None)
+        if ops is None or not ops.events:
+            return None
+        busy_ps, end = 0, -1
+        for e in sorted(ops.events, key=lambda e: e.offset_ps):
+            if e.offset_ps >= end:  # top-level: not inside an open parent
+                busy_ps += e.duration_ps
+                end = e.offset_ps + e.duration_ps
+        return busy_ps / 1e12
+    except Exception:  # pragma: no cover - proto surface varies by image
+        return None
+
+
 class StepTimer:
     """Wall-clock over device work: call .start(), then .stop(x) where
     x is an output of the timed computation (blocked on before reading

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Serving saturation sweep: sustained req/s + batch occupancy vs load.
+
+PARITY.md's serving section reports idle/contended latency percentiles;
+this measures the OTHER axis the MicroBatcher exists for (VERDICT r3
+next #7): sustained requests/second and how full the coalesced device
+batches run as concurrency ramps. At saturation the deadline never
+fires — batches fill to ``batch_size`` and N clients' requests ride one
+compiled dispatch.
+
+Protocol: an in-process ModelServer (flagship LanczosNet shapes, K=20
+on-device Ritz, batch 64, 5 ms deadline) behind the stdlib HTTP front;
+for each concurrency level C, C client threads POST single-graph
+predict requests back-to-back for ``--window`` seconds. Reported per
+level: completed req/s, client-side p50/p95 (full HTTP round trip),
+and the batcher's occupancy delta (requests/batches) for exactly that
+window. Run on the TPU:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_serve.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+
+
+def make_payloads(n_graphs: int, n_max: int) -> list[bytes]:
+    from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+
+    graphs = synthetic_qm8_graphs(n_graphs, seed=3, n_lo=8, n_hi=n_max - 4)
+    payloads = []
+    for g in graphs:
+        payloads.append(
+            json.dumps(
+                {
+                    "graphs": [
+                        {
+                            "atom_type": np.asarray(g["atom_type"]).tolist(),
+                            "adj": np.asarray(g["adj"]).tolist(),
+                        }
+                    ]
+                }
+            ).encode()
+        )
+    return payloads
+
+
+def client_loop(host, port, payloads, stop, out, idx):
+    lat, done, errors = [], 0, 0
+    i = idx  # stagger the request mix across clients
+    while not stop.is_set():
+        t0 = time.perf_counter()
+        try:
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            conn.request(
+                "POST",
+                "/v1/models/lanczosnet:predict",
+                body=payloads[i % len(payloads)],
+                headers={"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            body = resp.read()
+            conn.close()
+            if resp.status == 200 and b"predictions" in body:
+                done += 1
+                lat.append(time.perf_counter() - t0)
+            else:
+                errors += 1
+        except Exception:
+            errors += 1
+        i += 1
+    out[idx] = (done, errors, lat)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=float, default=8.0)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--deadline-ms", type=float, default=5.0)
+    ap.add_argument(
+        "--concurrency", type=str, default="1,4,8,16,32,64",
+        help="comma-separated client counts",
+    )
+    args = ap.parse_args()
+
+    from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
+
+    enable_compilation_cache()
+    set_prng_impl()
+
+    import jax
+
+    from lanczosnet_tpu.data.dataset import pack_dataset
+    from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+    from lanczosnet_tpu.models import build_model
+    from lanczosnet_tpu.serve import Predictor
+    from lanczosnet_tpu.serve_http import (
+        ModelServer,
+        make_http_server,
+        serve_forever_in_thread,
+    )
+
+    N_MAX, K = 32, 20
+    model = build_model(
+        {
+            "name": "LanczosNet",
+            "num_atom": 8,
+            "num_task": 16,
+            "hidden_dim": [128, 128, 128],
+            "embed_dim": 128,
+            "short_diffusion_dist": [1, 2, 3],
+            "long_diffusion_dist": [5, 7, 10, 20, 30],
+            "num_eig_vec": K,
+            "spectral_filter_kind": "MLP",
+        }
+    )
+    probe = pack_dataset(
+        synthetic_qm8_graphs(2, seed=0, n_lo=4, n_hi=8), n_max=N_MAX,
+        num_eig_vec=K,
+    )
+    batch = jax.tree.map(np.asarray, probe.slice_batch(np.arange(2)))
+    params = model.init(jax.random.PRNGKey(0), batch, deterministic=True)[
+        "params"
+    ]
+    pred = Predictor(
+        model, params, n_max=N_MAX, batch_size=args.batch_size,
+        num_eig_vec=K,
+    )
+    srv = ModelServer(max_delay_ms=args.deadline_ms)
+    srv.add_model("lanczosnet", pred)  # warmup compiles the request path
+    httpd = make_http_server(srv)
+    serve_forever_in_thread(httpd)
+    host, port = httpd.server_address
+
+    payloads = make_payloads(64, N_MAX)
+    rows = []
+    for c in [int(s) for s in args.concurrency.split(",")]:
+        before = srv.stats("lanczosnet")
+        stop = threading.Event()
+        out: dict = {}
+        threads = [
+            threading.Thread(
+                target=client_loop, args=(host, port, payloads, stop, out, i)
+            )
+            for i in range(c)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        time.sleep(args.window)
+        stop.set()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        done = sum(v[0] for v in out.values())
+        errors = sum(v[1] for v in out.values())
+        lat = np.asarray(sum((v[2] for v in out.values()), []), np.float64)
+        after = srv.stats("lanczosnet")
+        d_req = after.get("count", 0) - before.get("count", 0)
+        d_batch = after.get("batches", 0) - before.get("batches", 0)
+        row = {
+            "clients": c,
+            "req_per_sec": round(done / dt, 1),
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1)
+            if lat.size else None,
+            "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1)
+            if lat.size else None,
+            "errors": errors,
+            "mean_batch_occupancy": round(d_req / d_batch, 2)
+            if d_batch else None,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    best = max(rows, key=lambda r: r["req_per_sec"])
+    print(
+        f"saturation: {best['req_per_sec']} req/s at {best['clients']} "
+        f"clients, mean batch occupancy {best['mean_batch_occupancy']}"
+    )
+    httpd.shutdown()
+    srv.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,85 @@ def build_step(model, tx):
     return scanned
 
 
+def run_one(args, f: int, dt_name: str) -> dict:
+    """Measure ONE (F, dtype) config; called in its own subprocess."""
+    enable_compilation_cache()
+    set_prng_impl()
+
+    from lanczosnet_tpu.data.citation import synthetic_citation_edges
+    from lanczosnet_tpu.models.base import compute_dtype
+    from lanczosnet_tpu.models.sparse_nodes import SparseGCN
+    from lanczosnet_tpu.ops.sparse import sparse_sym_operator
+
+    graph = synthetic_citation_edges(
+        args.nodes, num_class=10, feat_dim=f,
+        avg_degree=args.degree, seed=7,
+    )
+    n = graph["features"].shape[0]
+    op = sparse_sym_operator(graph["edges"], n)
+    x32 = jnp.asarray(graph["features"])
+    labels = jnp.asarray(graph["labels"].astype("int32"))
+    mask = jnp.asarray(graph["train_mask"].astype("float32"))
+    h = args.hidden or f
+    dt = compute_dtype(dt_name)  # validates; typos raise
+    dt_name = jnp.dtype(dt).name  # normalize ("bf16" -> "bfloat16")
+    model = SparseGCN(hidden_dim=(h, h), num_class=10, dropout=0.5, dtype=dt)
+    tx = optax.adam(1e-2)
+    rng = jax.random.PRNGKey(0)
+    # A config can exceed HBM (measured: F=512 f32 at 1M nodes — the
+    # two saved [E, F] edge-gather activations alone are ~10 GB). The
+    # memory wall is itself a result, and bf16's halved rows may fit
+    # where f32 didn't; the OOM becomes a row, not a crash.
+    try:
+        params = model.init(
+            {"params": rng, "dropout": rng}, x32, op, deterministic=True
+        )["params"]
+        state = (params, tx.init(params), rng)
+        data = (x32, op, labels, mask)
+        scanned = build_step(model, tx)
+        state, losses = scanned(state, data, args.steps)  # compile+warm
+        float(losses[-1])
+        t0 = time.perf_counter()
+        state, losses = scanned(state, data, args.steps)
+        final = float(losses[-1])  # forces completion
+        dt_s = time.perf_counter() - t0
+        ms = dt_s / args.steps * 1e3
+        row = {
+            "nodes": n, "edges": int(op.row.shape[0]), "F": f,
+            "hidden": h, "dtype": dt_name, "ms_per_step": round(ms, 1),
+            "loss": round(final, 4),
+        }
+        # Roofline: XLA's cost model counts the scan body ONCE, so
+        # bytes_accessed of the n-step program ≈ HBM traffic of one
+        # step (+ small prologue) — divide by measured step time for
+        # achieved GB/s vs the v5e's 819 GB/s peak. Shapes-only
+        # lowering: post-first-call AOT compile is served from the jit
+        # cache (CLAUDE.md).
+        try:
+            from lanczosnet_tpu.utils.profiling import program_cost
+
+            abstract = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                (state, data),
+            )
+            cost = program_cost(scanned, abstract[0], abstract[1], n=args.steps)
+            if cost.get("bytes_accessed"):
+                gbps = cost["bytes_accessed"] / (ms / 1e3) / 1e9
+                row["bytes_per_step"] = int(cost["bytes_accessed"])
+                row["hbm_gbps"] = round(gbps, 1)
+                row["hbm_pct_peak"] = round(100 * gbps / 819.0, 1)
+        except Exception:
+            pass
+        return row
+    except Exception as e:  # noqa: BLE001
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        return {
+            "nodes": n, "edges": int(op.row.shape[0]), "F": f,
+            "hidden": h, "dtype": dt_name, "oom": True,
+        }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=1_000_000)
@@ -79,61 +158,48 @@ def main():
                     help="hidden width (default: same as F)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    ap.add_argument("--one", nargs=2, metavar=("F", "DTYPE"), default=None,
+                    help="internal: run a single config in-process")
     args = ap.parse_args()
 
-    enable_compilation_cache()
-    set_prng_impl()
+    if args.one is not None:
+        print("ROW " + json.dumps(run_one(args, int(args.one[0]), args.one[1])),
+              flush=True)
+        return
 
-    from lanczosnet_tpu.data.citation import synthetic_citation_edges
-    from lanczosnet_tpu.models.base import compute_dtype
-    from lanczosnet_tpu.models.sparse_nodes import SparseGCN
-    from lanczosnet_tpu.ops.sparse import sparse_sym_operator
+    # One subprocess per config: a hard OOM wedges the axon TPU backend
+    # for the rest of the process (measured: the very next PRNGKey
+    # raises RESOURCE_EXHAUSTED), and the TPU is single-tenant anyway —
+    # process isolation makes every config's 16 GB start from zero.
+    import os
+    import subprocess
+    import sys
 
     results = []
     for f in [int(s) for s in args.feat.split(",")]:
-        graph = synthetic_citation_edges(
-            args.nodes, num_class=10, feat_dim=f,
-            avg_degree=args.degree, seed=7,
-        )
-        n = graph["features"].shape[0]
-        op = sparse_sym_operator(graph["edges"], n)
-        x32 = jnp.asarray(graph["features"])
-        labels = jnp.asarray(graph["labels"].astype("int32"))
-        mask = jnp.asarray(graph["train_mask"].astype("float32"))
-        h = args.hidden or f
         for dt_name in args.dtypes.split(","):
-            dt = compute_dtype(dt_name)  # validates; typos raise
-            dt_name = jnp.dtype(dt).name  # normalize ("bf16" -> "bfloat16")
-            model = SparseGCN(
-                hidden_dim=(h, h), num_class=10, dropout=0.5, dtype=dt
-            )
-            tx = optax.adam(1e-2)
-            rng = jax.random.PRNGKey(0)
-            params = model.init(
-                {"params": rng, "dropout": rng}, x32, op, deterministic=True
-            )["params"]
-            state = (params, tx.init(params), rng)
-            data = (x32, op, labels, mask)
-            scanned = build_step(model, tx)
-            state, losses = scanned(state, data, args.steps)  # compile + warm
-            float(losses[-1])
-            t0 = time.perf_counter()
-            state, losses = scanned(state, data, args.steps)
-            final = float(losses[-1])  # forces completion
-            dt_s = time.perf_counter() - t0
-            ms = dt_s / args.steps * 1e3
-            row = {
-                "nodes": n, "edges": int(op.row.shape[0]), "F": f,
-                "hidden": h, "dtype": dt_name, "ms_per_step": round(ms, 1),
-                "loss": round(final, 4),
-            }
+            cmd = [
+                sys.executable, "-u", os.path.abspath(__file__),
+                "--nodes", str(args.nodes), "--degree", str(args.degree),
+                "--hidden", str(args.hidden), "--steps", str(args.steps),
+                "--one", str(f), dt_name,
+            ]
+            res = subprocess.run(cmd, capture_output=True, text=True)
+            row = None
+            for line in res.stdout.splitlines():
+                if line.startswith("ROW "):
+                    row = json.loads(line[4:])
+            if row is None:
+                row = {"F": f, "dtype": dt_name, "failed": True,
+                       "tail": (res.stdout + res.stderr)[-500:]}
             results.append(row)
             print(json.dumps(row), flush=True)
 
     # f32/bf16 ratio per F
     byf = {}
     for r in results:
-        byf.setdefault(r["F"], {})[r["dtype"]] = r["ms_per_step"]
+        if "ms_per_step" in r:
+            byf.setdefault(r["F"], {})[r["dtype"]] = r["ms_per_step"]
     for f, d in sorted(byf.items()):
         if "float32" in d and "bfloat16" in d:
             print(f"F={f}: bf16 speedup over f32 = "
