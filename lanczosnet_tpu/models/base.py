@@ -163,3 +163,51 @@ class MLP(nn.Module):
         for i, d in enumerate(self.features[:-1]):
             x = nn.relu(nn.Dense(d, name=f"dense_{i}")(x))
         return nn.Dense(self.features[-1], name=f"dense_{len(self.features) - 1}")(x)
+
+
+class SumDense(nn.Module):
+    """``Dense(concat(parts, -1))`` without materializing the concat.
+
+    Registers the exact params ``nn.Dense(features)`` would for the
+    concatenated input — one ``kernel [sum_i F_i, features]`` (same
+    init fn, same shape, so the same PRNG draw) plus ``bias`` — but
+    computes ``sum_i parts[i] @ kernel[rows_i] + bias``: each part
+    contracts against its own row-slice of the kernel and the partial
+    products accumulate in f32 (``preferred_element_type``), exactly
+    what the MXU does internally across the concatenated contraction
+    dim. The big-graph sparse models feed every layer a list of
+    same-length node features (self + diffusion scales + spectral
+    reconstructions); at 10M nodes × 5 parts the concat is a 3.2 GB
+    bf16 buffer whose cotangent is another 3.2 GB — this layer is what
+    removes both from the train step's HBM footprint (the concat form
+    RESOURCE_EXHAUSTED at 10M even under `train.remat: full`).
+    Checkpoint- and init-compatible with the concat form; equivalence
+    is tested to f32-accumulation tolerance (tests/test_sparse.py).
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        parts = list(parts)
+        in_dim = sum(p.shape[-1] for p in parts)
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (in_dim, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        *parts, kernel, bias = nn.dtypes.promote_dtype(
+            *parts, kernel, bias, dtype=self.dtype
+        )
+        acc, off = None, 0
+        for p in parts:
+            w = jax.lax.slice_in_dim(kernel, off, off + p.shape[-1], axis=0)
+            off += p.shape[-1]
+            partial = jax.lax.dot_general(
+                p, w, (((p.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = partial if acc is None else acc + partial
+        return (acc + bias.astype(jnp.float32)).astype(kernel.dtype)

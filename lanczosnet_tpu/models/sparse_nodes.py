@@ -40,7 +40,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lanczosnet_tpu.models.base import MLP
+from lanczosnet_tpu.models.base import MLP, SumDense
 from lanczosnet_tpu.ops.sparse import (
     SparseOp,
     collective_safe_unroll,
@@ -67,16 +67,29 @@ class SparseGCN(nn.Module):
     # element-serialized — so the default stays f32; the knob exists
     # for backends whose scatter handles 16-bit natively.
     dtype: Any = jnp.float32
+    # per-layer checkpointing (train.remat: layers) — backward replays
+    # one layer at a time; see SparseLanczosNet's docstring
+    remat_layers: bool = False
+
+    def _layer(self, h, op, li, dim, deterministic):
+        # SumDense == Dense(concat) without the [N, 2F] concat buffer
+        h = nn.relu(
+            SumDense(dim, dtype=self.dtype, name=f"layer_{li}")(
+                [h, spmv(op, h)]
+            )
+        )
+        return nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
+        layer = type(self)._layer
+        if self.remat_layers:
+            layer = nn.remat(layer, static_argnums=(3, 4, 5))
         h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
-            h = jnp.concatenate([h, spmv(op, h)], axis=-1)
-            h = nn.relu(nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(h))
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = layer(self, h, op, li, dim, deterministic)
         return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
@@ -108,9 +121,7 @@ class SparseChebyNet(nn.Module):
             for _ in range(self.poly_order - 1):
                 feats.append(two * spmv(op, feats[-1]) - feats[-2])
             h = nn.relu(
-                nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
-                    jnp.concatenate(feats, axis=-1)
-                )
+                SumDense(dim, dtype=self.dtype, name=f"layer_{li}")(feats)
             )
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
@@ -186,8 +197,11 @@ class SparseDCNN(nn.Module):
         hops = tuple(range(1, self.max_hop + 1))
         for li, dim in enumerate(self.hidden_dim):
             feats = sparse_diffusion_features(op, h, hops)  # [H, N, F]
-            h = jnp.concatenate([h, *feats], axis=-1)
-            h = nn.relu(nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(h))
+            h = nn.relu(
+                SumDense(dim, dtype=self.dtype, name=f"layer_{li}")(
+                    [h, *feats]
+                )
+            )
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
@@ -211,8 +225,11 @@ class SparseGraphSAGE(nn.Module):
     ) -> jnp.ndarray:
         h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
-            h = jnp.concatenate([h, mean_spmv(op, h)], axis=-1)
-            h = nn.relu(nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(h))
+            h = nn.relu(
+                SumDense(dim, dtype=self.dtype, name=f"layer_{li}")(
+                    [h, mean_spmv(op, h)]
+                )
+            )
             # L2-normalize in f32: bf16 sums of squares lose half the
             # mantissa exactly where the norm needs it
             norm = jnp.sqrt(
@@ -319,18 +336,16 @@ class SparseGPNN(nn.Module):
         for li, dim in enumerate(self.hidden_dim):
             for p in range(self.num_prop):
                 for i in range(self.num_intra_prop):
-                    z = jnp.concatenate([h, spmv(intra_op, h)], axis=-1)
                     h = nn.relu(
-                        nn.Dense(
+                        SumDense(
                             dim, dtype=self.dtype, name=f"intra_{li}_{p}_{i}"
-                        )(z)
+                        )([h, spmv(intra_op, h)])
                     )
                 for c in range(self.num_cut_prop):
-                    z = jnp.concatenate([h, spmv(cut_op, h)], axis=-1)
                     upd = nn.relu(
-                        nn.Dense(
+                        SumDense(
                             dim, dtype=self.dtype, name=f"cut_{li}_{p}_{c}"
-                        )(z)
+                        )([h, spmv(cut_op, h)])
                     )
                     if h.shape[-1] != dim:
                         h = nn.Dense(
@@ -368,7 +383,12 @@ class SparseAdaLanczosNet(nn.Module):
     def __call__(
         self, x: jnp.ndarray, op: SparseOp, deterministic: bool = True
     ) -> jnp.ndarray:
-        emb = nn.Dense(self.kernel_dim, name="kernel_embed")(x)
+        # kernel embedding pinned f32 regardless of the storage dtype of
+        # x (the runner stores features in the compute dtype): the
+        # learned operator feeds the f32 Lanczos recursion below
+        emb = nn.Dense(self.kernel_dim, name="kernel_embed")(
+            x.astype(jnp.float32)
+        )
         # per-edge Gaussian kernel on the support, sym-normalized —
         # ring form rotates the embedding blocks (ops/sparse.py)
         lop = learned_kernel_op(op, emb)
@@ -394,15 +414,25 @@ class SparseAdaLanczosNet(nn.Module):
                     recon = ritz_vec @ (f[:, None] * vtx)
                 parts.append(recon.astype(h.dtype))
             h = nn.relu(
-                nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
-                    jnp.concatenate(parts, axis=-1)
-                )
+                SumDense(dim, dtype=self.dtype, name=f"layer_{li}")(parts)
             )
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)
 
 
 class SparseLanczosNet(nn.Module):
+    """Precomputed-Ritz LanczosNet over a COO operator.
+
+    ``remat_layers`` (train.remat: layers) checkpoints EACH layer
+    (`nn.remat` on the layer method, param paths unchanged): the
+    backward replays one layer's forward at a time, so two layers'
+    part-lists never coexist. This — not whole-forward
+    `jax.checkpoint`, whose backward materializes every layer's replay
+    in one computation — is what fits the 10M-node train step in one
+    v5e's HBM (measured via scripts/mem_probe.py: 17.07 GB unremat,
+    16.24 GB whole-forward, see PARITY.md).
+    """
+
     hidden_dim: Sequence[int]
     num_class: int
     short_diffusion_dist: Sequence[int] = (1, 2)
@@ -410,6 +440,29 @@ class SparseLanczosNet(nn.Module):
     filter_hidden_dim: int = 16
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    remat_layers: bool = False
+
+    def _layer(self, h, op, ritz_val, ritz_vec, li, dim, deterministic):
+        parts = [h]
+        if self.short_diffusion_dist:
+            short = sparse_diffusion_features(
+                op, h, tuple(self.short_diffusion_dist)
+            )  # [S, N, F]
+            parts.extend(short)
+        for t in self.long_diffusion_dist:
+            feat = jnp.stack([ritz_val, ritz_val**t], axis=-1)  # [K, 2]
+            f = MLP((self.filter_hidden_dim, 1),
+                    name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
+            # Ritz pairs are precomputed f32; the projection runs
+            # f32 and only the reconstruction rejoins compute dtype
+            vtx = spectral_project(op, ritz_vec, h)  # [K, F] f32
+            with jax.default_matmul_precision("float32"):
+                recon = ritz_vec @ (f[:, None] * vtx)
+            parts.append(recon.astype(h.dtype))
+        h = nn.relu(
+            SumDense(dim, dtype=self.dtype, name=f"layer_{li}")(parts)
+        )
+        return nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
     @nn.compact
     def __call__(
@@ -420,28 +473,10 @@ class SparseLanczosNet(nn.Module):
         ritz_vec: jnp.ndarray,  # [N, K]
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        layer = type(self)._layer
+        if self.remat_layers:
+            layer = nn.remat(layer, static_argnums=(5, 6, 7))
         h = x.astype(self.dtype)
         for li, dim in enumerate(self.hidden_dim):
-            parts = [h]
-            if self.short_diffusion_dist:
-                short = sparse_diffusion_features(
-                    op, h, tuple(self.short_diffusion_dist)
-                )  # [S, N, F]
-                parts.extend(short)
-            for t in self.long_diffusion_dist:
-                feat = jnp.stack([ritz_val, ritz_val**t], axis=-1)  # [K, 2]
-                f = MLP((self.filter_hidden_dim, 1),
-                        name=f"filter_{li}_t{t}")(feat)[..., 0]  # [K]
-                # Ritz pairs are precomputed f32; the projection runs
-                # f32 and only the reconstruction rejoins compute dtype
-                vtx = spectral_project(op, ritz_vec, h)  # [K, F] f32
-                with jax.default_matmul_precision("float32"):
-                    recon = ritz_vec @ (f[:, None] * vtx)
-                parts.append(recon.astype(h.dtype))
-            h = nn.relu(
-                nn.Dense(dim, dtype=self.dtype, name=f"layer_{li}")(
-                    jnp.concatenate(parts, axis=-1)
-                )
-            )
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = layer(self, h, op, ritz_val, ritz_vec, li, dim, deterministic)
         return nn.Dense(self.num_class, dtype=self.dtype, name="head")(h)

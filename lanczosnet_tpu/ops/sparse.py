@@ -502,19 +502,57 @@ def _take_sorted_bwd_fwd(xg, col, col_perm, axis):
     return xg[col], (col, col_perm, xg.shape[0])
 
 
+# Backward-scatter transient bound: above _BWD_CHUNK_ENGAGE bytes the
+# sorted cotangent scatter runs in ~_BWD_CHUNK_TARGET-byte chunks, so
+# the widened f32 [E, F] operand never materializes whole (at 10M
+# nodes / 25M edges it alone was 2.98 GB of the step's HBM peak; with
+# the un-chunked layout the step needed 16.6 GB vs the v5e's 15.75).
+# Shapes are static, so the chunk count is decided at trace time and
+# small programs keep the exact single-scatter lowering they were
+# measured with.
+_BWD_CHUNK_ENGAGE = 2 * 1024**3
+_BWD_CHUNK_TARGET = 1 * 1024**3
+
+
 def _take_sorted_bwd_bwd(axis, res, g):
     col, col_perm, n = res
     dt = g.dtype  # cotangent dtype == primal output dtype == xg's
-    acc = g.astype(jnp.float32) if g.dtype in (jnp.bfloat16, jnp.float16) else g
+    narrow = dt in (jnp.bfloat16, jnp.float16)
     if col_perm is not None:
-        dx = jax.ops.segment_sum(
-            jnp.take(acc, col_perm, axis=0),
-            jnp.take(col, col_perm),
-            num_segments=n,
-            indices_are_sorted=True,
-        )
+        # permute in the cotangent's own dtype and widen AFTER: the
+        # [E, F] permutation gather then reads half the bytes for bf16,
+        # and the f32 copy of g never coexists with its permuted copy
+        # (the 16-bit→f32 widening is exact, so permute-then-convert
+        # == convert-then-permute bitwise)
+        e = g.shape[0]
+        op_bytes = g.size * 4  # widened operand
+        if op_bytes > _BWD_CHUNK_ENGAGE:
+            nchunk = -(-op_bytes // _BWD_CHUNK_TARGET)
+            csize = -(-e // nchunk)
+            dx = jnp.zeros((n,) + g.shape[1:], jnp.float32)
+            for s in range(0, e, csize):
+                sl = col_perm[s : s + csize]
+                part = jnp.take(g, sl, axis=0)
+                if narrow:
+                    part = part.astype(jnp.float32)
+                # each contiguous slice of the global sort stays sorted
+                dx = dx.at[jnp.take(col, sl)].add(
+                    part, indices_are_sorted=True
+                )
+        else:
+            acc = jnp.take(g, col_perm, axis=0)
+            if narrow:
+                acc = acc.astype(jnp.float32)
+            dx = jax.ops.segment_sum(
+                acc,
+                jnp.take(col, col_perm),
+                num_segments=n,
+                indices_are_sorted=True,
+            )
     else:
-        dx = jax.ops.segment_sum(acc, col, num_segments=n)
+        dx = jax.ops.segment_sum(
+            g.astype(jnp.float32) if narrow else g, col, num_segments=n
+        )
     if axis is not None:
         # edge-sharded mode: the gathered operand was REPLICATED across
         # the edge shards, so its cotangent is the cross-shard sum (the

@@ -156,6 +156,16 @@ class SparseCitationRunner:
         )
         self.ckpt = Checkpointer(self.run_dir)
 
+        # model.dtype: bfloat16 halves the E·F gather/scatter traffic
+        # that bounds the sparse step; params and the spectral core
+        # stay f32 (models/sparse_nodes.py dtype contract). Parsed
+        # before the dataset so features can be STORED in the compute
+        # dtype: the model's first op is `x.astype(dtype)` anyway, so
+        # keeping an f32 copy on device only holds dead bytes — at 10M
+        # nodes the f32 [10M, 32] feature matrix is 640 MB of the
+        # runtime-OOM margin (r4).
+        self.compute_dtype = compute_dtype(config.model.get("dtype"))
+
         dcfg = config.dataset
         source = dcfg.get("source", "synthetic")
         if source == "planetoid":
@@ -187,7 +197,7 @@ class SparseCitationRunner:
             self.op = sparse_row_stochastic_operator(edges, n)
         else:
             self.op = sparse_sym_operator(edges, n)
-        self.x = jnp.asarray(graph["features"])
+        self.x = jnp.asarray(graph["features"], dtype=self.compute_dtype)
         self.labels = jnp.asarray(graph["labels"].astype(np.int32))
         self.splits = {
             s: jnp.asarray(graph[f"{s}_mask"].astype(np.float32))
@@ -255,10 +265,6 @@ class SparseCitationRunner:
         hidden = tuple(mcfg.get("hidden_dim", (64,)))
         c = int(graph["num_class"])
         drop = float(mcfg.get("dropout", 0.5))
-        # model.dtype: bfloat16 halves the E·F gather/scatter traffic
-        # that bounds the sparse step; params and the spectral core
-        # stay f32 (models/sparse_nodes.py dtype contract)
-        self.compute_dtype = compute_dtype(mcfg.get("dtype"))
         self.extras = None
         self.extra_specs = None
         self.init_extras = None  # process-local twin for flax init
@@ -374,6 +380,16 @@ class SparseCitationRunner:
             )
         if self.compute_dtype is not jnp.float32:
             self.model = self.model.clone(dtype=self.compute_dtype)
+        if str(config.train.get("remat", "")).lower() == "layers":
+            # per-layer checkpointing is a MODEL structure knob
+            # (nn.remat around each layer method), unlike full/dots
+            # which wrap the whole forward in build_programs
+            if not hasattr(self.model, "remat_layers"):
+                raise ValueError(
+                    f"train.remat: layers — {name} has no per-layer "
+                    "remat support (use 'full' or 'dots')"
+                )
+            self.model = self.model.clone(remat_layers=True)
         if (
             self.mesh is not None
             and self.extras is not None
@@ -411,9 +427,9 @@ class SparseCitationRunner:
             {"params": params}, *args, deterministic=deterministic, rngs=rngs
         )
 
-    def train(self) -> dict:
-        tcfg = self.config.train
-        tx, schedule = build_optimizer(tcfg, 1)
+    def init_train_state(self, tx) -> TrainState:
+        """Initial TrainState (flax init + optimizer init), replicated
+        over the mesh when one exists."""
         rng = jax.random.PRNGKey(int(self.config.seed))
         p_rng, d_rng, s_rng = jax.random.split(rng, 3)
         # flax init runs OUTSIDE the sharded step and (on a multi-host
@@ -436,23 +452,57 @@ class SparseCitationRunner:
                 lambda a: global_put(a, replicate_sharding(self.mesh)),
                 params,
             )
-        state = TrainState(
+        return TrainState(
             params=params, opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32), rng=s_rng,
         )
 
-        # everything a jitted step touches travels as ARGUMENTS — on a
-        # multi-host mesh a jit may not close over global arrays
-        data = (self.x, self.op, self.extras, self.labels, self.splits)
+    def build_programs(self, tx):
+        """The three jitted device programs of the training loop:
+        ``train_step`` (one epoch: fwd + bwd + update, state donated),
+        ``scanned_steps(state, data, n)`` (n epochs in one `lax.scan`
+        program — `train.valid_epoch`), and ``accuracy(params, data,
+        mask)``. Factored out of :meth:`train` so tooling can AOT-
+        inspect the exact programs (scripts/mem_probe.py reads their
+        compiled buffer footprint without executing — how the 10M-node
+        HBM budget was debugged)."""
+        tcfg = self.config.train
+
+        # `train.remat: full|dots` rematerializes the forward inside the
+        # backward pass instead of saving intermediates — the knob that
+        # breaks the wide-F activation memory wall (PARITY.md: at
+        # F=512/1M nodes the saved [E, F] edge-gather activations alone
+        # are ~10 GB → RESOURCE_EXHAUSTED on one v5e). "full" saves
+        # nothing (backward re-runs the forward; peak ≈ forward
+        # transients); "dots" keeps matmul outputs ([N, dim] — cheap)
+        # and recomputes only the gather/scatter/elementwise chain.
+        # Grad-identical to the unrematerialized step (the backward
+        # replays the same HLO ops; tests/test_sparse_remat.py).
+        def fwd_train(p, x, op, extras, dr):
+            return self._apply(p, x, op, extras, False, rngs={"dropout": dr})
+
+        remat = str(tcfg.get("remat", "")).lower()
+        if remat in ("full", "true", "1"):
+            fwd_train = jax.checkpoint(fwd_train)
+        elif remat == "dots":
+            fwd_train = jax.checkpoint(
+                fwd_train,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif remat == "layers":
+            pass  # handled at model construction (clone(remat_layers=True))
+        elif remat not in ("", "false", "none", "0"):
+            raise ValueError(
+                f"train.remat must be 'full', 'dots' or 'layers', "
+                f"got {remat!r}"
+            )
 
         def step_body(state, data):
             x, op, extras, labels, splits = data
             rng, dr = jax.random.split(state.rng)
 
             def loss_fn(p):
-                logits = self._apply(
-                    p, x, op, extras, False, rngs={"dropout": dr}
-                )
+                logits = fwd_train(p, x, op, extras, dr)
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits.astype(jnp.float32), labels
                 )
@@ -479,8 +529,6 @@ class SparseCitationRunner:
         # scale (the 19.7k-node step is scatter-bound at ~90 ms, so
         # dispatch hides behind async execution) — the knob pays off
         # when step time ≪ dispatch, i.e. Cora/Citeseer-sized graphs.
-        group_size = max(1, int(tcfg.get("valid_epoch", 1)))
-
         # On the CPU test mesh a sharded step_body's collectives must not
         # repeat inside a multi-trip loop (rendezvous-key reuse across
         # trips — ops/lanczos.py:_collective_safe_unroll), so the epoch
@@ -507,6 +555,18 @@ class SparseCitationRunner:
             return jnp.sum((pred == labels) * mask) / jnp.maximum(
                 jnp.sum(mask), 1.0
             )
+
+        return train_step, scanned_steps, accuracy
+
+    def train(self) -> dict:
+        tcfg = self.config.train
+        tx, schedule = build_optimizer(tcfg, 1)
+        state = self.init_train_state(tx)
+        # everything a jitted step touches travels as ARGUMENTS — on a
+        # multi-host mesh a jit may not close over global arrays
+        data = (self.x, self.op, self.extras, self.labels, self.splits)
+        train_step, scanned_steps, accuracy = self.build_programs(tx)
+        group_size = max(1, int(tcfg.get("valid_epoch", 1)))
 
         max_epoch = int(tcfg.get("max_epoch", 200))
         patience = int(tcfg.get("patience", 50))
@@ -537,6 +597,13 @@ class SparseCitationRunner:
             else:
                 state, losses = scanned_steps(state, data, n=group)
                 loss = losses[-1]
+            if epoch == start_epoch:
+                # fetch the first loss BEFORE the first eval dispatch:
+                # execution is async, so a step error would otherwise
+                # surface at the val fetch and a train-step runtime OOM
+                # is indistinguishable from an eval one (hit at 10M
+                # nodes, r4)
+                float(loss)
             if epoch == start_epoch and group == 1:
                 # free once the executable exists (reuses the jit cache
                 # entry); calling BEFORE the first step would pay the
@@ -549,6 +616,13 @@ class SparseCitationRunner:
                     )
             epoch += group
             val_acc = float(accuracy(state.params, data, self.splits["val"]))
+            if epoch - group == start_epoch:
+                cost = program_cost(
+                    accuracy, state.params, data, self.splits["val"]
+                )
+                if cost:
+                    self.log.info("eval program cost: %s", cost)
+                    self.metrics.log("program_cost", program="eval", **cost)
             if (epoch - group) % display < group:
                 self.log.info(
                     "epoch %d | train CE %.4f | val acc %.4f",

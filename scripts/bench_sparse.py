@@ -35,11 +35,30 @@ import optax
 from lanczosnet_tpu.utils.cache import enable_compilation_cache, set_prng_impl
 
 
-def build_step(model, tx):
+def build_step(model, tx, remat: str = ""):
     # Data enters as jit ARGUMENTS, never closure constants: a closed-over
     # 1M-node feature matrix is embedded in the serialized HLO and blows
     # the remote-compile service's request-size limit (HTTP 413, observed
     # at F=128: 512 MB of inline constants).
+
+    # same knob as SparseCitationRunner's `train.remat`: recompute the
+    # forward in the backward instead of saving the [E, F] gather
+    # activations — the wide-F memory-wall breaker
+    def fwd(p, x, op, dr):
+        return model.apply(
+            {"params": p}, x, op, deterministic=False, rngs={"dropout": dr}
+        )
+
+    if remat == "full":
+        fwd = jax.checkpoint(fwd)
+    elif remat == "dots":
+        fwd = jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    # "layers" is a model-structure knob (clone(remat_layers=True) in
+    # run_one): the per-layer nn.remat replays one layer at a time —
+    # lower peak than the whole-forward checkpoint (mem_probe, 10M run)
+
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
     def scanned(state, data, n):
         x, op, labels, train_mask = data
@@ -49,10 +68,7 @@ def build_step(model, tx):
             rng, dr = jax.random.split(rng)
 
             def loss_fn(p):
-                logits = model.apply(
-                    {"params": p}, x, op,
-                    deterministic=False, rngs={"dropout": dr},
-                )
+                logits = fwd(p, x, op, dr)
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits.astype(jnp.float32), labels
                 )
@@ -86,13 +102,18 @@ def run_one(args, f: int, dt_name: str) -> dict:
     )
     n = graph["features"].shape[0]
     op = sparse_sym_operator(graph["edges"], n)
-    x32 = jnp.asarray(graph["features"])
+    x = jnp.asarray(graph["features"])
     labels = jnp.asarray(graph["labels"].astype("int32"))
     mask = jnp.asarray(graph["train_mask"].astype("float32"))
     h = args.hidden or f
     dt = compute_dtype(dt_name)  # validates; typos raise
     dt_name = jnp.dtype(dt).name  # normalize ("bf16" -> "bfloat16")
     model = SparseGCN(hidden_dim=(h, h), num_class=10, dropout=0.5, dtype=dt)
+    remat = args.remat
+    if remat == "layers":
+        model = model.clone(remat_layers=True)
+    # features stored in the compute dtype, like the runner (r4)
+    x = x.astype(dt)
     tx = optax.adam(1e-2)
     rng = jax.random.PRNGKey(0)
     # A config can exceed HBM (measured: F=512 f32 at 1M nodes — the
@@ -101,11 +122,11 @@ def run_one(args, f: int, dt_name: str) -> dict:
     # where f32 didn't; the OOM becomes a row, not a crash.
     try:
         params = model.init(
-            {"params": rng, "dropout": rng}, x32, op, deterministic=True
+            {"params": rng, "dropout": rng}, x, op, deterministic=True
         )["params"]
         state = (params, tx.init(params), rng)
-        data = (x32, op, labels, mask)
-        scanned = build_step(model, tx)
+        data = (x, op, labels, mask)
+        scanned = build_step(model, tx, remat)
         state, losses = scanned(state, data, args.steps)  # compile+warm
         float(losses[-1])
         t0 = time.perf_counter()
@@ -118,6 +139,8 @@ def run_one(args, f: int, dt_name: str) -> dict:
             "hidden": h, "dtype": dt_name, "ms_per_step": round(ms, 1),
             "loss": round(final, 4),
         }
+        if remat:
+            row["remat"] = remat
         # Roofline: XLA's cost model counts the scan body ONCE, so
         # bytes_accessed of the n-step program ≈ HBM traffic of one
         # step (+ small prologue) — divide by measured step time for
@@ -143,10 +166,13 @@ def run_one(args, f: int, dt_name: str) -> dict:
     except Exception as e:  # noqa: BLE001
         if "RESOURCE_EXHAUSTED" not in str(e):
             raise
-        return {
+        row = {
             "nodes": n, "edges": int(op.row.shape[0]), "F": f,
             "hidden": h, "dtype": dt_name, "oom": True,
         }
+        if remat:
+            row["remat"] = remat
+        return row
 
 
 def main():
@@ -158,6 +184,10 @@ def main():
                     help="hidden width (default: same as F)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    ap.add_argument("--remat", type=str, default="",
+                    choices=("", "full", "dots", "layers"),
+                    help="rematerialize the forward in backward "
+                         "(train.remat equivalent)")
     ap.add_argument("--one", nargs=2, metavar=("F", "DTYPE"), default=None,
                     help="internal: run a single config in-process")
     args = ap.parse_args()
@@ -182,6 +212,7 @@ def main():
                 sys.executable, "-u", os.path.abspath(__file__),
                 "--nodes", str(args.nodes), "--degree", str(args.degree),
                 "--hidden", str(args.hidden), "--steps", str(args.steps),
+                "--remat", args.remat,
                 "--one", str(f), dt_name,
             ]
             res = subprocess.run(cmd, capture_output=True, text=True)

@@ -302,6 +302,109 @@ def test_sparse_bf16_compute_matches_f32():
         assert np.isfinite(float(gn)) and float(gn) > 0, name
 
 
+def test_sum_dense_equals_concat_dense():
+    """SumDense(parts) == Dense(concat(parts)) with the SAME param tree
+    (same kernel init draw, same shapes) — the layer that removes the
+    [N, sum F] concat and its cotangent from the sparse models' HBM
+    footprint. Equality is to f32-accumulation tolerance (partial
+    products accumulate f32; the concat matmul does the same inside
+    the MXU)."""
+    import jax
+    import flax.linen as nn
+    from lanczosnet_tpu.models.base import SumDense
+
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3, kp = jax.random.split(rng, 4)
+    parts = [
+        jax.random.normal(k1, (40, 7)),
+        jax.random.normal(k2, (40, 5)),
+        jax.random.normal(k3, (40, 7)),
+    ]
+    cat = jnp.concatenate(parts, axis=-1)
+
+    sum_m = SumDense(11)
+    dense_m = nn.Dense(11)
+    p_sum = sum_m.init(kp, parts)["params"]
+    p_dense = dense_m.init(kp, cat)["params"]
+    # identical param trees AND identical init values (same PRNG draw)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        p_sum, p_dense,
+    )
+
+    out_sum = sum_m.apply({"params": p_sum}, parts)
+    out_cat = dense_m.apply({"params": p_dense}, cat)
+    np.testing.assert_allclose(
+        np.asarray(out_sum), np.asarray(out_cat), rtol=1e-6, atol=1e-6
+    )
+
+    # grads flow through every part and through the sliced kernel
+    def loss(p, parts):
+        return jnp.sum(sum_m.apply({"params": p}, parts) ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(p_sum, parts)
+
+    def loss_cat(p, cat):
+        return jnp.sum(dense_m.apply({"params": p}, cat) ** 2)
+
+    gp_c, gx_c = jax.grad(loss_cat, argnums=(0, 1))(p_dense, cat)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        gp, gp_c,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(gx, axis=-1)), np.asarray(gx_c),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # bf16 compute: output dtype tracks the knob, values track f32
+    out16 = SumDense(11, dtype=jnp.bfloat16).apply({"params": p_sum}, parts)
+    assert out16.dtype == jnp.bfloat16
+    err = float(jnp.max(jnp.abs(out16.astype(jnp.float32) - out_cat)))
+    assert err / (float(jnp.max(jnp.abs(out_cat))) + 1e-6) < 0.05
+
+
+@pytest.mark.parametrize("name", ["GCN", "AdaLanczosNet"])
+def test_sparse_runner_stores_features_in_compute_dtype(tmp_path, name):
+    """Under `model.dtype: bfloat16` the runner stores features in the
+    compute dtype (the model's first op is the cast anyway — an f32
+    copy is 640 MB of dead HBM at 10M nodes, the r4 runtime-OOM
+    margin); AdaLanczosNet's kernel embedding must still run its f32
+    spectral-core contract, and training must stay finite+learning."""
+    import pathlib
+
+    kw = (
+        {"num_eig_vec": 6, "kernel_dim": 8, "short_diffusion_dist": [1],
+         "long_diffusion_dist": [3]}
+        if name == "AdaLanczosNet"
+        else {}
+    )
+    cfg = AttrDict.convert(
+        {
+            "exp_name": f"bf16_store_{name}",
+            "runner": "SparseCitationRunner",
+            "seed": 0,
+            "save_dir": str(tmp_path / name),
+            "dataset": {"source": "synthetic", "name": "cora", "scale": 0.08},
+            "model": {
+                "name": name, "hidden_dim": [32], "dtype": "bfloat16", **kw,
+            },
+            "train": {"optimizer": "Adam", "lr": 1e-2, "max_epoch": 30,
+                      "patience": 40, "display_iter": 20},
+            "test": {},
+        }
+    )
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    runner = build_runner(cfg)
+    assert runner.x.dtype == jnp.bfloat16
+    res = runner.train()
+    assert res["best_val_acc"] > 1.0 / 7 + 0.05
+
+
 def test_sparse_runner_resume(tmp_path):
     """`train.is_resume` restarts from the periodic `latest` snapshot
     with the best-so-far carried over (parity with the QM8 runner's
