@@ -250,7 +250,10 @@ class QM8Runner:
             for f in ("ops", "node_feat", "ritz_vec")
             if getattr(self.datasets["train"], f) is not None
         )
-        return nbytes < 2 * 1024**3  # device-resident if the split fits
+        # device-resident if the split fits: ~2x the raw split (the
+        # resident arrays + one epoch's shuffled copy, scan_epoch.py:
+        # shuffle_epoch) must stay a small slice of HBM
+        return nbytes < 2 * 1024**3
 
 
     def _best_meta(self, epoch: int, val_mae: float = None) -> dict:

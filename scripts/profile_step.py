@@ -58,7 +58,7 @@ def build_state_and_epoch():
     )
     from lanczosnet_tpu.train.step import init_state
 
-    num_graphs = 2048
+    num_graphs = 21760  # bench.py's real-QM8 scale
     steps_per_epoch = num_graphs // BATCH
     graphs = synthetic_qm8_graphs(num_graphs, seed=0, n_lo=8, n_hi=28)
     ds = pack_dataset(graphs, n_max=N, num_eig_vec=K, standardize=True)
@@ -180,7 +180,7 @@ def analyze(path, steps=None, graphs_per_step=None, peak_tflops=197.0):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--parse-only":
-        analyze(sys.argv[2], steps=320, graphs_per_step=64)
+        analyze(sys.argv[2], steps=3400, graphs_per_step=64)
         return
 
     import jax
@@ -204,8 +204,8 @@ def main():
     if not files:
         print("NO XPLANE — profiler produced nothing over this backend")
         return
-    # 10 permutation groups x (2048/BATCH) steps inside one scan program
-    analyze(sorted(files)[-1], steps=10 * (2048 // BATCH), graphs_per_step=BATCH)
+    # 10 permutation groups x (21760/BATCH) steps inside one scan program
+    analyze(sorted(files)[-1], steps=10 * (21760 // BATCH), graphs_per_step=BATCH)
 
 
 if __name__ == "__main__":
