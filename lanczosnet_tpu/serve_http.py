@@ -59,11 +59,17 @@ class ModelServer:
     ) -> "ModelServer":
         srv = cls(max_delay_ms=max_delay_ms)
         for name, run_dir in runs.items():
-            srv.add_model(
-                name,
-                Predictor.from_run_dir(run_dir, batch_size=batch_size),
-                warmup=warmup,
-            )
+            # a directory produced by `lanczosnet-export` serves its
+            # deserialized StableHLO program — no model code re-traced
+            from lanczosnet_tpu.export import is_artifact_dir, load_predictor
+
+            if is_artifact_dir(run_dir):
+                predictor = load_predictor(run_dir)
+            else:
+                predictor = Predictor.from_run_dir(
+                    run_dir, batch_size=batch_size
+                )
+            srv.add_model(name, predictor, warmup=warmup)
         return srv
 
     def add_model(
