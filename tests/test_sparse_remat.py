@@ -212,6 +212,31 @@ def test_layer_remat_grads_identical_lanczos_net():
     )
 
 
+def test_runner_ring_remat_bf16_lanczos_net():
+    """The flagship multi-chip composition (the exact knob set of
+    configs/ten_million_sparse_lanczos_net_ring.yaml at small scale):
+    LanczosNet × nodes_ring × bfloat16 × remat:layers. The sharded
+    Ritz precompute, the per-layer nn.remat replay of ring collectives
+    in the backward, and bf16 feature storage must compose — finite and
+    learning on the 8-device CPU mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    with tempfile.TemporaryDirectory() as d:
+        cfg = _runner_cfg(d, "layers")
+        cfg["dataset"]["num_nodes"] = 96
+        cfg["model"] = {
+            "name": "LanczosNet", "hidden_dim": [16], "dropout": 0.1,
+            "num_eig_vec": 6, "short_diffusion_dist": [1, 2],
+            "long_diffusion_dist": [3], "dtype": "bfloat16",
+        }
+        cfg["train"]["num_devices"] = 8
+        cfg["train"]["shard"] = "nodes_ring"
+        cfg["train"]["max_epoch"] = 30
+        res = SparseCitationRunner(cfg).train()
+    assert np.isfinite(res["best_val_acc"])
+    assert res["best_val_acc"] > 1.0 / 3 + 0.1
+
+
 def test_runner_rejects_layers_remat_without_support():
     with tempfile.TemporaryDirectory() as d:
         cfg = _runner_cfg(d, "layers")
