@@ -90,7 +90,11 @@ def shuffle_epoch(
 
     def f(x):
         flat = x.reshape((x.shape[0], -1)) if x.ndim > 1 else x
-        out = jnp.take(flat, flat_perm, axis=0)
+        # permutation/batch-table indices are in bounds by
+        # construction; the default mode='fill' emits a whole-epoch
+        # broadcast+select against fill values (~17 ms per 10-epoch
+        # group on v5e) that 'clip' elides
+        out = jnp.take(flat, flat_perm, axis=0, mode="clip")
         out = out.reshape((steps, batch_size) + x.shape[1:])
         if sharding is not None:
             out = jax.lax.with_sharding_constraint(
