@@ -106,8 +106,15 @@ def _chunked_ritz(ops0: np.ndarray, mask: np.ndarray, k: int, chunk: int = 256):
     """
     g = ops0.shape[0]
     chunk = min(chunk, g) or 1
-    vals, vecs = [], []
     fn = _ritz_jit(k)
+    # Dispatch every chunk before fetching anything: jit calls are
+    # async, so the device works through the whole queue while the
+    # host pads the next chunk, and the single device_get at the end
+    # starts all D2H copies before blocking — on a tunnel-attached
+    # chip the per-chunk fetch round trip (~0.1 s) otherwise
+    # serializes with compute (measured: pack-time Ritz was the
+    # dominant cost of runner start-up at QM8 scale).
+    pending, keep = [], []
     for lo in range(0, g, chunk):
         s = ops0[lo : lo + chunk]
         m = mask[lo : lo + chunk]
@@ -115,9 +122,11 @@ def _chunked_ritz(ops0: np.ndarray, mask: np.ndarray, k: int, chunk: int = 256):
         if pad:
             s = np.concatenate([s, np.zeros((pad,) + s.shape[1:], s.dtype)])
             m = np.concatenate([m, np.zeros((pad,) + m.shape[1:], m.dtype)])
-        v, q = fn(s, m)
-        vals.append(np.asarray(v)[: chunk - pad if pad else chunk])
-        vecs.append(np.asarray(q)[: chunk - pad if pad else chunk])
+        pending.append(fn(s, m))
+        keep.append(chunk - pad if pad else chunk)
+    fetched = jax.device_get(pending)
+    vals = [v[:n] for (v, _), n in zip(fetched, keep)]
+    vecs = [q[:n] for (_, q), n in zip(fetched, keep)]
     return np.concatenate(vals), np.concatenate(vecs)
 
 

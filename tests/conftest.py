@@ -29,6 +29,13 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# keep the runner's pack cache out of the real ~/.cache during tests
+# (one shared per-session dir also speeds repeated packs of the tiny
+# test configs; content is keyed by every pack-determining field)
+import tempfile  # noqa: E402
+
+os.environ["LANCZOSNET_CACHE"] = tempfile.mkdtemp(prefix="lnet_test_cache_")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402

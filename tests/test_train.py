@@ -162,6 +162,41 @@ def test_runner_end_to_end(tmp_path, name, kw):
     assert result2["test_mae"] == pytest.approx(result["test_mae"], rel=1e-5)
 
 
+def test_pack_cache_roundtrip(tmp_path, monkeypatch):
+    """Second runner build with identical dataset fields must serve
+    byte-identical packed splits from the pack cache; a different seed
+    must repack into a different entry; pack_cache: false writes
+    nothing."""
+    import pathlib
+
+    monkeypatch.setenv("LANCZOSNET_CACHE", str(tmp_path / "cache"))
+    cfg = _runner_config(tmp_path, "LanczosNet", num_eig_vec=4,
+                         short_diffusion_dist=[1], long_diffusion_dist=[2])
+    r1 = build_runner(cfg)
+    entries = list(pathlib.Path(tmp_path / "cache").rglob("*.npz"))
+    assert len(entries) == 3  # train/val/test, one digest dir
+    r2 = build_runner(cfg)
+    for s in ("train", "val", "test"):
+        a, b = r1.datasets[s], r2.datasets[s]
+        np.testing.assert_array_equal(a.ops, b.ops)
+        np.testing.assert_array_equal(a.label, b.label)
+        np.testing.assert_array_equal(a.ritz_vec, b.ritz_vec)
+        np.testing.assert_allclose(a.stats.mean, b.stats.mean)
+
+    cfg2 = _runner_config(tmp_path, "LanczosNet", num_eig_vec=4,
+                          short_diffusion_dist=[1], long_diffusion_dist=[2])
+    cfg2.dataset.seed = 99
+    build_runner(cfg2)
+    assert len(list(pathlib.Path(tmp_path / "cache").rglob("*.npz"))) == 6
+
+    cfg3 = _runner_config(tmp_path, "LanczosNet", num_eig_vec=4,
+                          short_diffusion_dist=[1], long_diffusion_dist=[2])
+    cfg3.dataset.seed = 123
+    cfg3.dataset.pack_cache = False
+    build_runner(cfg3)
+    assert len(list(pathlib.Path(tmp_path / "cache").rglob("*.npz"))) == 6
+
+
 def test_runner_resume(tmp_path):
     import pathlib
 
