@@ -29,6 +29,14 @@ import numpy as np
 from lanczosnet_tpu.core.graph_batch import GraphBatch, batch_graphs
 from lanczosnet_tpu.ops.normalize import build_operator_stack
 
+# Version of the pack FORMAT+SEMANTICS. The runner's persistent pack
+# cache folds this into its digest, so bump it alongside ANY change
+# that alters what pack_dataset produces for the same inputs (padding,
+# operator normalization, the Ritz precompute / start vector, partition
+# assignment, label standardization) — otherwise stale cached packs
+# keep serving for unchanged configs.
+PACK_FORMAT_VERSION = 2
+
 
 @dataclass(frozen=True)
 class LabelStats:

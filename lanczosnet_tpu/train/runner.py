@@ -187,18 +187,17 @@ class QM8Runner:
                 s: (lambda s=s: import_reference_pickles(dcfg[f"{s}_path"]))
                 for s in SPLITS
             }
-            # input files can change on disk: key on path + mtime + size
+            # input files can change on disk: key on path + mtime(ns) +
+            # inode + size (whole-second mtime could serve a stale pack
+            # for a same-size rewrite within one second — advisor r4)
             try:
                 import os as _os
 
-                cache_key = {
-                    s: [
-                        dcfg[f"{s}_path"],
-                        int(_os.stat(dcfg[f"{s}_path"]).st_mtime),
-                        _os.stat(dcfg[f"{s}_path"]).st_size,
-                    ]
-                    for s in SPLITS
-                }
+                def _file_key(p):
+                    st = _os.stat(p)
+                    return [p, st.st_mtime_ns, st.st_ino, st.st_size]
+
+                cache_key = {s: _file_key(dcfg[f"{s}_path"]) for s in SPLITS}
             except OSError:
                 cache_key = None
         else:
@@ -236,9 +235,11 @@ class QM8Runner:
             import json
             import os
 
+            from lanczosnet_tpu.data.dataset import PACK_FORMAT_VERSION
+
             payload = json.dumps(
                 {
-                    "format": 1,
+                    "format": PACK_FORMAT_VERSION,
                     "source": source,
                     "key": cache_key,
                     "n_max": n_max,

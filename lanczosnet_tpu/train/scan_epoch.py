@@ -87,14 +87,21 @@ def shuffle_epoch(
     shard of the shuffled copy.
     """
     flat_perm = perm.reshape(-1)
+    # 'clip' silently remaps an out-of-bounds index to the last row,
+    # which removes the NaN tripwire 'fill' gave new callers — keep
+    # the tripwire behind an env knob for debug/test runs (the bounds
+    # check itself must stay out of the hot path: mode='fill' emits a
+    # whole-epoch broadcast+select, ~17 ms per 10-epoch group on v5e)
+    import os
+
+    take_mode = (
+        "fill" if os.environ.get("LANCZOSNET_DEBUG_BOUNDS") else "clip"
+    )
 
     def f(x):
         flat = x.reshape((x.shape[0], -1)) if x.ndim > 1 else x
-        # permutation/batch-table indices are in bounds by
-        # construction; the default mode='fill' emits a whole-epoch
-        # broadcast+select against fill values (~17 ms per 10-epoch
-        # group on v5e) that 'clip' elides
-        out = jnp.take(flat, flat_perm, axis=0, mode="clip")
+        # permutation/batch-table indices are in bounds by construction
+        out = jnp.take(flat, flat_perm, axis=0, mode=take_mode)
         out = out.reshape((steps, batch_size) + x.shape[1:])
         if sharding is not None:
             out = jax.lax.with_sharding_constraint(

@@ -32,9 +32,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # keep the runner's pack cache out of the real ~/.cache during tests
 # (one shared per-session dir also speeds repeated packs of the tiny
 # test configs; content is keyed by every pack-determining field)
+import atexit  # noqa: E402
+import shutil  # noqa: E402
 import tempfile  # noqa: E402
 
-os.environ["LANCZOSNET_CACHE"] = tempfile.mkdtemp(prefix="lnet_test_cache_")
+_cache_dir = tempfile.mkdtemp(prefix="lnet_test_cache_")
+os.environ["LANCZOSNET_CACHE"] = _cache_dir
+atexit.register(shutil.rmtree, _cache_dir, ignore_errors=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -108,19 +108,23 @@ def test_model_server_loads_artifact_dirs(trained_run, tmp_path):
         srv.close()
 
 
-def test_wrong_backend_artifact_is_loud(trained_run, tmp_path):
+def test_wrong_backend_artifact_is_loud(trained_run, tmp_path, monkeypatch):
     """An artifact exported only for another platform must refuse to
     load with an actionable error, not fail at first request."""
     pred = Predictor.from_run_dir(trained_run, batch_size=8)
     out = export_predictor(pred, tmp_path / "artifact")
     meta_p = out / "meta.json"
-    # simulate by exporting for the current backend then checking the
-    # guard path directly: doctor the serialized program is not
-    # possible, so assert on the loader's platform check contract
     meta = json.loads(meta_p.read_text())
     import jax
 
     assert jax.default_backend() in meta["platforms"]
+    # the serialized program can't be doctored, so simulate loading the
+    # cpu-exported artifact on a different backend: the guard compares
+    # jax.default_backend() against exported.platforms and must raise
+    # with re-export guidance (export.py:load_predictor)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu9k")
+    with pytest.raises(ValueError, match="re-export"):
+        load_predictor(out)
 
 
 def test_future_format_version_rejected(trained_run, tmp_path):

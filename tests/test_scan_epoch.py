@@ -108,3 +108,31 @@ def test_runner_both_paths(tmp_path, scan):
     res = build_runner(cfg).train()
     assert np.isfinite(res["best_val_mae"])
     assert res["test_mae"] is not None
+
+
+def test_shuffle_epoch_debug_bounds_tripwire(monkeypatch):
+    """Default 'clip' gather remaps an out-of-bounds index to the last
+    row (hot path, in-bounds by construction); LANCZOSNET_DEBUG_BOUNDS
+    restores the 'fill' NaN tripwire so a new caller's index bug
+    surfaces loudly instead of silently training on the wrong graph
+    (advisor r4)."""
+    from lanczosnet_tpu.train.scan_epoch import shuffle_epoch
+
+    ds = make_ds(num=8)
+    data = device_dataset(ds)
+    bad = jnp.full((2, 4), 99, jnp.int32)  # 8-row table: way OOB
+
+    out = shuffle_epoch(data, bad, steps=2, batch_size=4)
+    np.testing.assert_allclose(  # clip → every row is the last graph
+        np.asarray(out.ops), np.broadcast_to(np.asarray(data.ops)[-1], (2, 4) + data.ops.shape[1:])
+    )
+
+    monkeypatch.setenv("LANCZOSNET_DEBUG_BOUNDS", "1")
+    out = shuffle_epoch(data, bad, steps=2, batch_size=4)
+    assert np.isnan(np.asarray(out.ops)).all()
+
+    good = jnp.tile(jnp.arange(8, dtype=jnp.int32), 1).reshape(2, 4)
+    out = shuffle_epoch(data, good, steps=2, batch_size=4)
+    np.testing.assert_allclose(
+        np.asarray(out.ops), np.asarray(data.ops).reshape((2, 4) + data.ops.shape[1:])
+    )
