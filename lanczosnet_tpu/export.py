@@ -68,6 +68,7 @@ except ValueError:  # already registered (module re-import)
     pass
 
 _PROGRAM = "request_program.jaxexport"
+_PROGRAM_COMPACT = "request_program_compact.jaxexport"
 _PARAMS = "params.msgpack"
 _META = "meta.json"
 _FORMAT_VERSION = 1
@@ -127,6 +128,27 @@ def export_predictor(
     (out_dir / _PROGRAM).write_bytes(exported.serialize())
     (out_dir / _PARAMS).write_bytes(flax_ser.to_bytes(params))
 
+    # also serialize the compact-wire program (raw uint8 adjacency +
+    # on-device normalization, serve.py r5) when the predictor carries
+    # one, so artifact serving keeps the 5× smaller request payload.
+    # Additive: loaders without compact support ignore the extra file.
+    has_compact = bool(getattr(predictor, "compact_wire", False))
+    if has_compact:
+        bs, n = predictor.batch_size, predictor.n_max
+        e = int(batch.ops.shape[1]) - 1  # ops channels = merged + E raw
+        fc = int(batch.node_feat.shape[-1])
+        compact_sds = (
+            sds[0],
+            jax.ShapeDtypeStruct((bs, e, n, n), np.uint8),
+            jax.ShapeDtypeStruct((bs, n), np.int32),
+            jax.ShapeDtypeStruct((bs, n, fc), np.float32),
+        )
+        exported_c = jax_export.export(
+            predictor._apply_compact,
+            platforms=tuple(platforms) if platforms else None,
+        )(*compact_sds)
+        (out_dir / _PROGRAM_COMPACT).write_bytes(exported_c.serialize())
+
     meta = {
         "format_version": _FORMAT_VERSION,
         "jax_version": jax.__version__,
@@ -157,7 +179,7 @@ class ArtifactPredictor(Predictor):
     request program is the deserialized StableHLO: no model code, no
     config, no Python re-trace of the model."""
 
-    def __init__(self, exported, params, meta: dict):
+    def __init__(self, exported, params, meta: dict, exported_compact=None):
         from lanczosnet_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -178,6 +200,16 @@ class ArtifactPredictor(Predictor):
         # exported.call is traceable — jit it so repeat requests hit
         # the same compiled-executable cache entry as a native Predictor
         self._apply = jax.jit(exported.call)
+        # compact wire only when the artifact shipped the second
+        # program (exported_compact set by load_predictor); legacy
+        # artifacts keep the ops-stack wire
+        self.compact_wire = False
+        if exported_compact is not None:
+            call_c = jax.jit(exported_compact.call)
+            # match Predictor._apply_compact's (params, adj, atom,
+            # feat) signature minus the self-bound params ordering
+            self._apply_compact = call_c
+            self.compact_wire = self.num_cluster == 0
 
 
 def load_predictor(artifact_dir: str | Path) -> ArtifactPredictor:
@@ -202,7 +234,13 @@ def load_predictor(artifact_dir: str | Path) -> ArtifactPredictor:
     params = flax_ser.msgpack_restore(
         (artifact_dir / _PARAMS).read_bytes()
     )
-    return ArtifactPredictor(exported, params, meta)
+    exported_compact = None
+    compact_path = artifact_dir / _PROGRAM_COMPACT
+    if compact_path.exists():
+        exported_compact = jax_export.deserialize(compact_path.read_bytes())
+        if backend not in exported_compact.platforms:
+            exported_compact = None  # legacy program already validated
+    return ArtifactPredictor(exported, params, meta, exported_compact)
 
 
 def is_artifact_dir(path: str | Path) -> bool:

@@ -514,10 +514,30 @@ _BWD_CHUNK_ENGAGE = 2 * 1024**3
 _BWD_CHUNK_TARGET = 1 * 1024**3
 
 
+def _bf16_sorted_scatter() -> bool:
+    """Opt-in: accumulate SORTED cotangent scatters in the 16-bit
+    cotangent dtype instead of widening to f32 first (halves the
+    scatter operand + destination bytes). The r2 measurement that
+    mandated f32 accumulation — bf16 scatter-add ~9× slower than f32 —
+    was an UNSORTED-lowering artifact; with ``col_perm`` the scatter
+    runs as run-length block sums, so whether a sorted 16-bit
+    accumulation lowers fast is a separate question (VERDICT r4 #2).
+    Numerics: 16-bit accumulation loses mantissa on high-degree nodes;
+    tests/test_sparse_bf16_scatter.py bounds the gradient deviation.
+    Read at TRACE time (env, process-scoped) so the A/B sweep can flip
+    it per subprocess without threading a knob through every model."""
+    import os
+
+    return os.environ.get("LANCZOSNET_BF16_SCATTER", "0") not in ("", "0")
+
+
 def _take_sorted_bwd_bwd(axis, res, g):
     col, col_perm, n = res
     dt = g.dtype  # cotangent dtype == primal output dtype == xg's
     narrow = dt in (jnp.bfloat16, jnp.float16)
+    if narrow and col_perm is not None and _bf16_sorted_scatter():
+        narrow = False  # accumulate in the cotangent's own 16-bit dtype
+    acc_dt = jnp.float32 if narrow else dt
     if col_perm is not None:
         # permute in the cotangent's own dtype and widen AFTER: the
         # [E, F] permutation gather then reads half the bytes for bf16,
@@ -529,7 +549,7 @@ def _take_sorted_bwd_bwd(axis, res, g):
         if op_bytes > _BWD_CHUNK_ENGAGE:
             nchunk = -(-op_bytes // _BWD_CHUNK_TARGET)
             csize = -(-e // nchunk)
-            dx = jnp.zeros((n,) + g.shape[1:], jnp.float32)
+            dx = jnp.zeros((n,) + g.shape[1:], acc_dt)
             for s in range(0, e, csize):
                 sl = col_perm[s : s + csize]
                 part = jnp.take(g, sl, axis=0)

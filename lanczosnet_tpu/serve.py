@@ -63,6 +63,7 @@ class Predictor:
         operator_kind: str = "sym",
         stats: Optional[LabelStats] = None,
         num_task: int = 16,
+        compact_wire: bool = True,
     ):
         enable_compilation_cache()
         self.model = model
@@ -74,6 +75,19 @@ class Predictor:
         self.operator_kind = operator_kind
         self.stats = stats
         self.num_task = num_task
+        # Compact request wire (measured on the v5e serving box, r5):
+        # the request cycle is host↔device-transfer-latency-bound —
+        # ~32 ms fixed tunnel round trip, ~flat up to ~1 MB — while the
+        # native pack is 0.65 ms/64 graphs. Shipping the RAW uint8
+        # adjacency (binary per bond type in QM8) instead of the f32
+        # normalized operator stack cuts the wire payload 5× (1.31 MB
+        # → 0.26 MB at batch 64) and moves operator normalization + the
+        # padding mask (atom_type > 0) into the compiled device program,
+        # where it is noise next to the forward. GPNN (num_cluster > 0)
+        # keeps the legacy wire: its spectral partition assignments are
+        # computed from the normalized operator on the host at pack
+        # time, so the host needs the ops stack anyway.
+        self.compact_wire = compact_wire and num_cluster == 0
 
         def apply_fn(p, b):
             if self.num_eig_vec > 0 and b.ritz_val is None:
@@ -87,6 +101,28 @@ class Predictor:
             return model.apply({"params": p}, b, deterministic=True)
 
         self._apply = jax.jit(apply_fn)
+
+        def apply_compact(p, adj_u8, atom, node_feat):
+            import jax.numpy as jnp
+
+            from lanczosnet_tpu.core.graph_batch import GraphBatch
+            from lanczosnet_tpu.ops.normalize import build_operator_stack
+
+            atom = atom.astype(jnp.int32)
+            mask = (atom > 0).astype(jnp.float32)
+            ops = build_operator_stack(
+                adj_u8.astype(jnp.float32), mask, kind=self.operator_kind
+            )
+            b = GraphBatch(
+                atom_type=atom,
+                node_feat=node_feat,
+                ops=ops,
+                mask=mask,
+                label=jnp.zeros((atom.shape[0], self.num_task), jnp.float32),
+            )
+            return apply_fn(p, b)
+
+        self._apply_compact = jax.jit(apply_compact)
 
     @classmethod
     def from_run_dir(
@@ -173,41 +209,105 @@ class Predictor:
         )
 
     def warmup(self) -> None:
-        """Compile the request program ahead of traffic (one dummy
-        request per compiled shape)."""
+        """Compile the request program(s) ahead of traffic (one dummy
+        request per compiled shape). Both wire formats are warmed when
+        compact is on, so a request that falls back to the legacy wire
+        (non-integral adjacency weights) never pays a mid-traffic
+        compile."""
         from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
 
-        self.predict(synthetic_qm8_graphs(1, seed=0, n_lo=4,
-                                          n_hi=min(8, self.n_max)))
+        probe = synthetic_qm8_graphs(1, seed=0, n_lo=4,
+                                     n_hi=min(8, self.n_max))
+        self.predict(probe)
+        if self.compact_wire:
+            np.asarray(self._dispatch(list(probe), compact=False)[0])
 
-    def predict(self, graphs: Sequence[dict]) -> np.ndarray:
-        """Graph dicts → ``[len(graphs), T]`` predictions (original label
-        units when train-time stats are available)."""
-        out = []
+    def _compact_ok(self, chunk: Sequence[dict]) -> bool:
+        """Lossless-uint8 eligibility: every adjacency entry must be an
+        integer in [0, 255] and every real atom type positive (the
+        device program rebuilds the padding mask as atom_type > 0)."""
+        if not self.compact_wire:
+            return False
+        for g in chunk:
+            adj = np.asarray(g["adj"])
+            if adj.size and (
+                adj.min() < 0
+                or adj.max() > 255
+                or not np.array_equal(adj, np.trunc(adj))
+            ):
+                return False
+            if (np.asarray(g["atom_type"]) <= 0).any():
+                return False
+        return True
+
+    def _dispatch(self, chunk: list, compact: Optional[bool] = None):
+        """Pack one ≤ batch_size chunk and LAUNCH the device program
+        without fetching. Returns ``(device_handle, real_count)`` —
+        pass to :meth:`_finish`. Splitting dispatch from fetch lets
+        callers pipeline packing + host→device transfer of the next
+        chunk under execution + device→host fetch of the previous one
+        (the whole cycle is transfer-latency-bound on tunneled boxes)."""
+        real = len(chunk)
+        if real > self.batch_size:
+            raise ValueError(f"chunk {real} > batch_size={self.batch_size}")
+        if compact is None:
+            compact = self._compact_ok(chunk)
         bs = self.batch_size
-        # labels are irrelevant at inference; normalize to one shape so
-        # mixed labeled/unlabeled requests pack cleanly
-        dummy = np.zeros(self.num_task, np.float32)
-        graphs = [{**g, "label": dummy} for g in graphs]
-        for lo in range(0, len(graphs), bs):
-            chunk = list(graphs[lo : lo + bs])
-            real = len(chunk)
-            while len(chunk) < bs:  # ghost-pad to the compiled shape
-                chunk.append(chunk[0])
-            ds = pack_dataset(
-                chunk,
-                n_max=self.n_max,
-                num_eig_vec=0,  # Ritz runs on device in the jitted fwd
-                num_cluster=self.num_cluster,
-                operator_kind=self.operator_kind,
+        if compact:
+            n = self.n_max
+            e = int(np.asarray(chunk[0]["adj"]).shape[0])
+            adj = np.zeros((bs, e, n, n), np.uint8)
+            atom = np.zeros((bs, n), np.int32)
+            fc = (
+                np.asarray(chunk[0]["node_feat"]).shape[-1]
+                if chunk[0].get("node_feat") is not None
+                else 0
             )
-            batch = jax.tree.map(np.asarray, ds.slice_batch(np.arange(bs)))
-            pred = np.asarray(self._apply(self.params, batch))[:real]
-            out.append(pred)
-        pred = np.concatenate(out)
+            feat = np.zeros((bs, n, fc), np.float32)
+            for i, g in enumerate(chunk):
+                at = np.asarray(g["atom_type"], np.int32)
+                ni = at.shape[0]
+                if ni > n:
+                    raise ValueError(f"graph has {ni} nodes > n_max={n}")
+                atom[i, :ni] = at
+                adj[i, :, :ni, :ni] = np.asarray(g["adj"], np.uint8)
+                if fc:
+                    feat[i, :ni] = np.asarray(g["node_feat"], np.float32)
+            return self._apply_compact(self.params, adj, atom, feat), real
+        dummy = np.zeros(self.num_task, np.float32)
+        chunk = [{**g, "label": dummy} for g in chunk]
+        while len(chunk) < bs:  # ghost-pad to the compiled shape
+            chunk.append(chunk[0])
+        ds = pack_dataset(
+            chunk,
+            n_max=self.n_max,
+            num_eig_vec=0,  # Ritz runs on device in the jitted fwd
+            num_cluster=self.num_cluster,
+            operator_kind=self.operator_kind,
+        )
+        batch = jax.tree.map(np.asarray, ds.slice_batch(np.arange(bs)))
+        return self._apply(self.params, batch), real
+
+    def _finish(self, handle, real: int) -> np.ndarray:
+        """Fetch a dispatched chunk's predictions (blocking) and map
+        them back to original label units."""
+        pred = np.asarray(handle)[:real]
         if self.stats is not None:
             pred = pred * self.stats.std + self.stats.mean
         return pred
+
+    def predict(self, graphs: Sequence[dict]) -> np.ndarray:
+        """Graph dicts → ``[len(graphs), T]`` predictions (original label
+        units when train-time stats are available). Multi-chunk requests
+        dispatch every chunk before fetching any, so chunk i+1's
+        transfer rides under chunk i's execution."""
+        graphs = list(graphs)
+        bs = self.batch_size
+        handles = [
+            self._dispatch(graphs[lo : lo + bs])
+            for lo in range(0, len(graphs), bs)
+        ]
+        return np.concatenate([self._finish(h, r) for h, r in handles])
 
 
 class MicroBatcher:
@@ -226,16 +326,29 @@ class MicroBatcher:
     appends them to a run's metrics.jsonl (utils/logger.MetricsLogger).
     """
 
-    def __init__(self, predictor: Predictor, max_delay_ms: float = 5.0):
+    def __init__(
+        self,
+        predictor: Predictor,
+        max_delay_ms: float = 5.0,
+        inflight: int = 2,
+    ):
         self.predictor = predictor
         self.max_delay = max_delay_ms / 1e3
         self._q: "queue.Queue[tuple[dict, Future, float]]" = queue.Queue()
+        # dispatched-but-unfetched microbatches; bounding the depth
+        # bounds device-side queueing (latency) while still overlapping
+        # the next batch's pack + host→device transfer with the current
+        # batch's execution + fetch — the cycle is transfer-latency-
+        # bound, so the overlap is most of the win (measured r5)
+        self._pending: "queue.Queue" = queue.Queue(maxsize=max(1, inflight))
         self._latencies: list[float] = []
         self._batch_sizes: list[int] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
+        self._completer = threading.Thread(target=self._complete, daemon=True)
         self._worker.start()
+        self._completer.start()
 
     def submit(self, graph: dict) -> Future:
         fut: Future = Future()
@@ -243,6 +356,8 @@ class MicroBatcher:
         return fut
 
     def _run(self) -> None:
+        """Dispatch loop: coalesce requests, pack, LAUNCH the device
+        program, and hand the un-fetched handle to the completer."""
         bs = self.predictor.batch_size
         while not self._stop.is_set():
             try:
@@ -261,8 +376,29 @@ class MicroBatcher:
                     break
             graphs = [b[0] for b in batch]
             try:
-                preds = self.predictor.predict(graphs)
+                handle, real = self.predictor._dispatch(graphs)
             except Exception as exc:  # resolve, never wedge clients
+                for _, fut, _ in batch:
+                    fut.set_exception(exc)
+                continue
+            self._pending.put((batch, handle, real))
+
+    def _complete(self) -> None:
+        """Completion loop: blocking-fetch dispatched handles in order
+        and resolve their Futures."""
+        while True:
+            try:
+                batch, handle, real = self._pending.get(timeout=0.05)
+            except queue.Empty:
+                # only exit once the dispatcher can no longer produce
+                # (stop set AND worker dead) — otherwise a final batch
+                # dispatched during shutdown would never resolve
+                if self._stop.is_set() and not self._worker.is_alive():
+                    return
+                continue
+            try:
+                preds = self.predictor._finish(handle, real)
+            except Exception as exc:
                 for _, fut, _ in batch:
                     fut.set_exception(exc)
                 continue
@@ -302,8 +438,10 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=2.0)
-        # Drain: a request submitted but never batched must fail fast,
-        # not leave its client blocked forever in fut.result().
+        self._completer.join(timeout=10.0)
+        # Drain: a request submitted but never batched (or dispatched
+        # but never completed) must fail fast, not leave its client
+        # blocked forever in fut.result().
         while True:
             try:
                 _, fut, _ = self._q.get_nowait()
@@ -311,3 +449,11 @@ class MicroBatcher:
                 break
             if not fut.done():
                 fut.set_exception(RuntimeError("batcher closed"))
+        while True:
+            try:
+                batch, _, _ = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            for _, fut, _ in batch:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("batcher closed"))

@@ -54,10 +54,13 @@ def make_payloads(n_graphs: int, n_max: int) -> list[bytes]:
 def client_loop(host, port, payloads, stop, out, idx):
     lat, done, errors = [], 0, 0
     i = idx  # stagger the request mix across clients
+    conn = None  # HTTP/1.1 keep-alive: one persistent connection per
+    # client (what a real client library does); reconnect on failure
     while not stop.is_set():
         t0 = time.perf_counter()
         try:
-            conn = http.client.HTTPConnection(host, port, timeout=30)
+            if conn is None:
+                conn = http.client.HTTPConnection(host, port, timeout=30)
             conn.request(
                 "POST",
                 "/v1/models/lanczosnet:predict",
@@ -66,7 +69,6 @@ def client_loop(host, port, payloads, stop, out, idx):
             )
             resp = conn.getresponse()
             body = resp.read()
-            conn.close()
             if resp.status == 200 and b"predictions" in body:
                 done += 1
                 lat.append(time.perf_counter() - t0)
@@ -74,7 +76,18 @@ def client_loop(host, port, payloads, stop, out, idx):
                 errors += 1
         except Exception:
             errors += 1
+            try:
+                if conn is not None:
+                    conn.close()
+            except Exception:
+                pass
+            conn = None
         i += 1
+    if conn is not None:
+        try:
+            conn.close()
+        except Exception:
+            pass
     out[idx] = (done, errors, lat)
 
 
@@ -86,6 +99,20 @@ def main():
     ap.add_argument(
         "--concurrency", type=str, default="1,4,8,16,32,64",
         help="comma-separated client counts",
+    )
+    ap.add_argument(
+        "--inflight", type=int, default=2,
+        help="MicroBatcher dispatched-but-unfetched depth",
+    )
+    ap.add_argument(
+        "--legacy-wire", action="store_true",
+        help="disable the compact uint8 request wire (A/B baseline)",
+    )
+    ap.add_argument(
+        "--direct", action="store_true",
+        help="skip the HTTP front: clients submit to the MicroBatcher "
+             "in-process (isolates the batcher+device ceiling from the "
+             "HTTP/GIL one)",
     )
     args = ap.parse_args()
 
@@ -130,13 +157,31 @@ def main():
     ]
     pred = Predictor(
         model, params, n_max=N_MAX, batch_size=args.batch_size,
-        num_eig_vec=K,
+        num_eig_vec=K, compact_wire=not args.legacy_wire,
     )
-    srv = ModelServer(max_delay_ms=args.deadline_ms)
+    srv = ModelServer(max_delay_ms=args.deadline_ms, inflight=args.inflight)
     srv.add_model("lanczosnet", pred)  # warmup compiles the request path
     httpd = make_http_server(srv)
     serve_forever_in_thread(httpd)
     host, port = httpd.server_address
+
+    if args.direct:
+        graphs = synthetic_qm8_graphs(64, seed=3, n_lo=8, n_hi=N_MAX - 4)
+
+        def direct_loop(stop, out, idx):
+            mb = srv._batchers["lanczosnet"]
+            lat, done, errors = [], 0, 0
+            i = idx
+            while not stop.is_set():
+                t0 = time.perf_counter()
+                try:
+                    mb.submit(graphs[i % len(graphs)]).result(timeout=30)
+                    done += 1
+                    lat.append(time.perf_counter() - t0)
+                except Exception:
+                    errors += 1
+                i += 1
+            out[idx] = (done, errors, lat)
 
     payloads = make_payloads(64, N_MAX)
     rows = []
@@ -146,6 +191,10 @@ def main():
         out: dict = {}
         threads = [
             threading.Thread(
+                target=direct_loop, args=(stop, out, i)
+            )
+            if args.direct
+            else threading.Thread(
                 target=client_loop, args=(host, port, payloads, stop, out, i)
             )
             for i in range(c)

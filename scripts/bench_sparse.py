@@ -188,6 +188,10 @@ def main():
                     choices=("", "full", "dots", "layers"),
                     help="rematerialize the forward in backward "
                          "(train.remat equivalent)")
+    ap.add_argument("--bf16-scatter", action="store_true",
+                    help="accumulate sorted backward scatters in bf16 "
+                         "(sets LANCZOSNET_BF16_SCATTER for each config "
+                         "subprocess; only affects bfloat16 rows)")
     ap.add_argument("--one", nargs=2, metavar=("F", "DTYPE"), default=None,
                     help="internal: run a single config in-process")
     args = ap.parse_args()
@@ -215,7 +219,11 @@ def main():
                 "--remat", args.remat,
                 "--one", str(f), dt_name,
             ]
-            res = subprocess.run(cmd, capture_output=True, text=True)
+            env = dict(os.environ)
+            env["LANCZOSNET_BF16_SCATTER"] = (
+                "1" if args.bf16_scatter else "0"
+            )
+            res = subprocess.run(cmd, capture_output=True, text=True, env=env)
             row = None
             for line in res.stdout.splitlines():
                 if line.startswith("ROW "):
@@ -223,6 +231,8 @@ def main():
             if row is None:
                 row = {"F": f, "dtype": dt_name, "failed": True,
                        "tail": (res.stdout + res.stderr)[-500:]}
+            if args.bf16_scatter:
+                row["bf16_scatter"] = True
             results.append(row)
             print(json.dumps(row), flush=True)
 

@@ -148,3 +148,26 @@ def test_export_cli(trained_run, tmp_path, capsys):
     assert payload["artifact"] == str(out)
     assert payload["batch_size"] == 8
     assert is_artifact_dir(out)
+
+
+def test_artifact_carries_compact_wire(trained_run, tmp_path):
+    """r5 artifacts serialize BOTH request programs; the reloaded
+    predictor keeps the compact uint8 wire and matches the legacy one."""
+    import numpy as np
+
+    from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
+
+    pred = Predictor.from_run_dir(trained_run, batch_size=8)
+    out = export_predictor(pred, tmp_path / "artifact")
+    assert (out / "request_program_compact.jaxexport").exists()
+
+    art = load_predictor(out)
+    assert art.compact_wire
+    graphs = synthetic_qm8_graphs(5, seed=13, n_hi=10)
+    y_compact = art.predict(graphs)
+    art.compact_wire = False  # force the legacy program
+    y_legacy = art.predict(graphs)
+    np.testing.assert_allclose(y_compact, y_legacy, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        y_compact, pred.predict(graphs), rtol=1e-4, atol=1e-5
+    )

@@ -169,3 +169,45 @@ def test_microbatcher_close_drains_queued_futures(tmp_path):
     mb.close()
     with pytest.raises(RuntimeError, match="batcher closed"):
         fut.result(timeout=5)
+
+
+def test_compact_wire_matches_legacy_and_falls_back(tmp_path):
+    """The compact uint8 request wire (raw adjacency + on-device
+    normalization/mask, r5) must produce the same predictions as the
+    legacy ops-stack wire, and must silently fall back to legacy for
+    adjacencies a uint8 can't carry losslessly."""
+    cfg = _runner_config(tmp_path, "GCN")
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    save_config(cfg, pathlib.Path(cfg.save_dir) / "config.yaml")
+    build_runner(cfg).train()
+
+    pred = Predictor.from_run_dir(cfg.save_dir, batch_size=8)
+    assert pred.compact_wire
+    graphs = synthetic_qm8_graphs(11, seed=7, n_hi=10)
+    assert pred._compact_ok(graphs)
+    y_compact = pred.predict(graphs)
+
+    pred_legacy = Predictor.from_run_dir(cfg.save_dir, batch_size=8)
+    pred_legacy.compact_wire = False
+    y_legacy = pred_legacy.predict(graphs)
+    np.testing.assert_allclose(y_compact, y_legacy, rtol=1e-4, atol=1e-5)
+
+    # weighted adjacency → not uint8-representable → legacy fallback
+    weighted = [dict(g) for g in graphs]
+    weighted[0]["adj"] = weighted[0]["adj"] * 0.5
+    assert not pred._compact_ok(weighted)
+    y_w = pred.predict(weighted)  # runs through _apply, not _apply_compact
+    assert np.isfinite(y_w).all()
+    # untouched graphs keep their predictions through either wire
+    np.testing.assert_allclose(y_w[1:], y_compact[1:], rtol=1e-4, atol=1e-5)
+
+
+def test_gpnn_disables_compact_wire(tmp_path):
+    """GPNN packs host-side spectral partitions — the compact wire must
+    auto-disable so clusters keep flowing."""
+    cfg = _runner_config(tmp_path, "GPNN", num_partition=2)
+    pathlib.Path(cfg.save_dir).mkdir(parents=True, exist_ok=True)
+    save_config(cfg, pathlib.Path(cfg.save_dir) / "config.yaml")
+    build_runner(cfg).train()
+    pred = Predictor.from_run_dir(cfg.save_dir, batch_size=8)
+    assert pred.num_cluster == 2 and not pred.compact_wire
