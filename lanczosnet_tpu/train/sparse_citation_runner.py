@@ -197,6 +197,7 @@ class SparseCitationRunner:
             self.op = sparse_row_stochastic_operator(edges, n)
         else:
             self.op = sparse_sym_operator(edges, n)
+        nnz = int(self.op.row.shape[0])  # before sharding reshapes it
         self.x = jnp.asarray(graph["features"], dtype=self.compute_dtype)
         self.labels = jnp.asarray(graph["labels"].astype(np.int32))
         self.splits = {
@@ -208,7 +209,12 @@ class SparseCitationRunner:
         shard_kind = str(config.train.get("shard", "edges"))
         self.mesh = None
         self.node_sharded = False
-        self.init_op = self.op  # unsharded copy for flax init (no psum)
+        if config.model["name"] == "GPNN":
+            # unsharded operator for the host-side spectral partition
+            # (the only remaining consumer of a full unsharded copy;
+            # overridden with the padded twin in the node-sharded
+            # branch below)
+            self.init_op = self.op
         if ndev > 1 and shard_kind in ("nodes", "nodes_ring"):
             # Node-sharded: activations/optimizer node-state are N/ndev
             # per device — the memory-scaling mode. "nodes_ring"
@@ -226,20 +232,18 @@ class SparseCitationRunner:
             else:
                 self.op, n_pad = node_shard_sparse_op(self.op, self.mesh)
             self.n_pad = n_pad
-            # init/partition run unsharded on the zero-padded graph so
-            # shapes line up with the padded node arrays (pad nodes are
-            # isolated; they change nothing)
-            kind = (
-                sparse_row_stochastic_operator
-                if config.model["name"] == "DCNN"
-                else sparse_sym_operator
+            # GPNN's spectral partition runs host-side on the padded
+            # UNSHARDED graph so ids line up with the padded node
+            # arrays (pad nodes are isolated; they change nothing).
+            # Only GPNN pays for this unsharded copy — flax init no
+            # longer needs one (it runs on a tiny feature-dim twin,
+            # `_init_args`), so at 10M nodes the full [E]-sized
+            # operator stays off device 0 for the other families.
+            if config.model["name"] == "GPNN":
+                self.init_op = sparse_sym_operator(edges, n_pad)
+            self.x = shard_node_array(
+                _pad_rows(self.x, n_pad), self.mesh, n_pad
             )
-            self.init_op = kind(edges, n_pad)
-            # flax init must see PROCESS-LOCAL arrays on a multi-host
-            # mesh (it runs outside the sharded step); keep the padded
-            # unsharded view around
-            self.init_x = _pad_rows(self.x, n_pad)
-            self.x = shard_node_array(self.init_x, self.mesh, n_pad)
             self.labels = shard_node_array(self.labels, self.mesh, n_pad)
             self.splits = {
                 k: shard_node_array(v, self.mesh, n_pad)
@@ -251,14 +255,11 @@ class SparseCitationRunner:
             rsh = replicate_sharding(self.mesh)
             from lanczosnet_tpu.parallel.multihost import global_put
 
-            self.init_x = self.x
             self.x = global_put(self.x, rsh)
             self.labels = global_put(self.labels, rsh)
             self.splits = {
                 k: global_put(v, rsh) for k, v in self.splits.items()
             }
-        else:
-            self.init_x = self.x
 
         mcfg = dict(config.model)
         name = mcfg["name"]
@@ -267,7 +268,6 @@ class SparseCitationRunner:
         drop = float(mcfg.get("dropout", 0.5))
         self.extras = None
         self.extra_specs = None
-        self.init_extras = None  # process-local twin for flax init
         if name == "LanczosNet":
             k = int(mcfg.get("num_eig_vec", 20))
             if self.mesh is None:
@@ -286,10 +286,6 @@ class SparseCitationRunner:
                     out_specs=(P(), vec_spec),
                 ))(self.op)
                 self.extra_specs = (P(), vec_spec)
-                if jax.process_count() > 1:
-                    # init can't mix global extras with local arrays —
-                    # recompute the Ritz pair unsharded from init_op
-                    self.init_extras = sparse_lanczos_ritz(self.init_op, k)
             self.model = SparseLanczosNet(
                 hidden_dim=hidden,
                 num_class=c,
@@ -355,7 +351,6 @@ class SparseCitationRunner:
                 int(mcfg.get("num_partition", 2)),
                 seed=int(config.seed),
             )
-            self.init_extras = (jnp.asarray(part, jnp.int32),)
             if self.node_sharded:
                 self.extras = (
                     shard_node_array(
@@ -404,8 +399,7 @@ class SparseCitationRunner:
         self.log.info(
             "sparse citation runner: model=%s dataset=%s nodes=%d edges=%d "
             "classes=%d devices=%d",
-            name, dcfg.get("name", "cora"), n, int(self.op.row.shape[0]), c,
-            ndev,
+            name, dcfg.get("name", "cora"), n, nnz, c, ndev,
         )
 
     def _apply(self, params, x, op, extras, deterministic, rngs=None):
@@ -427,22 +421,59 @@ class SparseCitationRunner:
             {"params": params}, *args, deterministic=deterministic, rngs=rngs
         )
 
+    def _init_args(self):
+        """Tiny same-feature-dim twin of the real (x, op, *extras) for
+        flax init.
+
+        Every parameter in the nine sparse families is drawn from rng
+        with a shape that depends only on feature dims (hidden/filter/
+        kernel/class widths), never on node or edge count — so init on
+        a 32-node ring yields BIT-IDENTICAL params to init on the real
+        graph (tests/test_sparse_tiny_init.py) while skipping the full
+        forward pass flax init executes. At 10M nodes that forward was
+        (a) minutes of single-device compute, (b) an unsharded [N, F]
+        copy + full operator resident for the life of the run, and
+        (c) — when mixed with the mesh-sharded Ritz extras — a GSPMD
+        program whose resharding collectives abort on an
+        oversubscribed CPU mesh (XLA:CPU's 40 s rendezvous kill; the
+        r5 mem_probe crash). On a real slice it was also an init-time
+        OOM hazard: device 0 had to hold what training shards 8 ways.
+        """
+        mcfg = self.config.model
+        name = mcfg["name"]
+        n_t = max(32, int(mcfg.get("num_eig_vec", 0)))
+        ring = np.arange(n_t)
+        edges_t = np.stack([ring, (ring + 1) % n_t], axis=1)
+        kind = (
+            sparse_row_stochastic_operator
+            if name == "DCNN"
+            else sparse_sym_operator
+        )
+        op_t = kind(edges_t, n_t)
+        x_t = jnp.zeros((n_t, int(self.x.shape[-1])), self.compute_dtype)
+        if name == "LanczosNet":
+            k = int(mcfg.get("num_eig_vec", 20))
+            # values are irrelevant to param draws; zeros skip even the
+            # tiny Lanczos run
+            return (x_t, op_t, jnp.zeros((k,), jnp.float32),
+                    jnp.zeros((n_t, k), jnp.float32))
+        if name == "GPNN":
+            npart = int(mcfg.get("num_partition", 2))
+            return (x_t, op_t,
+                    jnp.arange(n_t, dtype=jnp.int32) % npart)
+        return (x_t, op_t)
+
     def init_train_state(self, tx) -> TrainState:
         """Initial TrainState (flax init + optimizer init), replicated
-        over the mesh when one exists."""
+        over the mesh when one exists. Init runs on the tiny
+        `_init_args` twin — process-local by construction, so it is
+        also multi-host safe (it never mixes global arrays with local
+        ones)."""
         rng = jax.random.PRNGKey(int(self.config.seed))
         p_rng, d_rng, s_rng = jax.random.split(rng, 3)
-        # flax init runs OUTSIDE the sharded step and (on a multi-host
-        # mesh) must not mix global arrays with local ones — it gets the
-        # process-local twins (init_x/init_op/init_extras); param values
-        # are data-independent so the twins yield identical params
-        init_extras = (
-            self.init_extras if self.init_extras is not None else self.extras
-        )
         params = self.model.init(
             {"params": p_rng, "dropout": d_rng},
-            self.init_x, self.init_op,
-            *(init_extras if init_extras is not None else ()),
+            *self._init_args(),
             deterministic=True,
         )["params"]
         if self.mesh is not None:

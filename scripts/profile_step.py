@@ -183,6 +183,15 @@ def main():
         analyze(sys.argv[2], steps=3400, graphs_per_step=64)
         return
 
+    # --batch N: profile the bench program at a non-default batch (the
+    # r5 batch-scaling sweep found MFU *halving* from batch 64 -> 128;
+    # this is the attribution tool). Must be set before build_state_…
+    # does its `from bench import BATCH`.
+    if "--batch" in sys.argv:
+        import bench
+
+        bench.BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
+
     import jax
 
     from bench import BATCH
