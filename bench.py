@@ -32,6 +32,7 @@ SHORT = [1, 2, 3]
 LONG = [5, 7, 10, 20, 30]
 STEPS = 60
 WARMUP = 5
+SUM_DENSE = False  # --sum-dense: layer Dense as SumDense([h, prop])
 
 # v5e peak: 197 bf16 TFLOP/s per chip. JAX f32 matmuls run single-pass
 # bf16 on TPU by default, so this is the honest MXU ceiling for this
@@ -124,6 +125,7 @@ def bench_jax(dtype: str = "float32") -> dict:
             "spectral_filter_kind": "MLP",
             "dropout": 0.1,
             "dtype": dtype,
+            "sum_dense": SUM_DENSE,
         }
     )
     tx, _ = build_optimizer({"optimizer": "Adam", "lr": 1e-3}, 1)
@@ -281,9 +283,13 @@ def main():
     # bound knee); the recorded headline stays the default batch 64 —
     # the reference's own working point — which is what the driver runs
     ap.add_argument("--batch", type=int, default=64)
+    # the concat-free layer Dense (model.sum_dense) — the batch ≥ 128
+    # layout-flip remedy; A/B'd by the r5 batch sweep
+    ap.add_argument("--sum-dense", action="store_true")
     args = ap.parse_args()
-    global BATCH
+    global BATCH, SUM_DENSE
     BATCH = args.batch
+    SUM_DENSE = args.sum_dense
     r = bench_jax(args.dtype)
     gps = r["graphs_per_sec"]
     try:
@@ -296,7 +302,8 @@ def main():
             {
                 "metric": "lanczosnet_qm8_train_graphs_per_sec"
                 + ("_bf16" if args.dtype == "bfloat16" else "")
-                + (f"_b{BATCH}" if BATCH != 64 else ""),
+                + (f"_b{BATCH}" if BATCH != 64 else "")
+                + ("_sumdense" if SUM_DENSE else ""),
                 "value": round(gps, 1),
                 "unit": f"graphs/sec (batch {BATCH}, N=32, K=20, fwd+bwd+adam)",
                 # NOT the reference: its mount is empty and it publishes

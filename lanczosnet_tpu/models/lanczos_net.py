@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from lanczosnet_tpu.core.graph_batch import GraphBatch
-from lanczosnet_tpu.models.base import compute_dtype, edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead
+from lanczosnet_tpu.models.base import compute_dtype, edge_message_concat, flatten_feature_stack, AttentionReadout, NodeEncoder, NodeHead, SumDense
 from lanczosnet_tpu.ops.poly import diffusion_features_at
 from lanczosnet_tpu.ops.spectral import long_scale_features
 
@@ -248,6 +248,21 @@ class LanczosNet(nn.Module):
     output_hidden_dim: Sequence[int] = ()
     dropout: float = 0.0
     task: str = "graph"  # "graph" (regression readout) | "node" (per-node logits)
+    # `model.sum_dense: true` — apply each layer's Dense as
+    # SumDense([h, prop]) (two kernel-row-slice matmuls summed in f32)
+    # instead of Dense(concat([h, prop], -1)). Identical params/init/
+    # checkpoints and the same math to f32-accumulation tolerance
+    # (tests/test_models.py). Why it exists: at batch ≥ 128 XLA's
+    # layout assignment flips the [B, N, 13F] concat to a batch-in-
+    # middle layout ({2,0,1}) to feed its OutputBatchInSublanes dot
+    # emitter, and the concat's BACKWARD splits become strided slices
+    # (~190k cycles each, HLO-verified) plus layout-conversion copies —
+    # the measured reason MFU halves from batch 64 → 128 while the
+    # matmuls themselves scale linearly (PARITY.md r5 batch sweep).
+    # SumDense never materializes the concat, so there is nothing to
+    # split. Default off: at the reference working point (batch 64)
+    # the one-big-matmul form is already optimal.
+    sum_dense: bool = False
     # `model.dtype: bfloat16` — activation/compute dtype for the layer
     # loop. Params, the spectral filter bank, operator-power formation,
     # and the readout/loss all stay f32; the propagation einsums pin
@@ -276,6 +291,7 @@ class LanczosNet(nn.Module):
             output_hidden_dim=tuple(cfg.get("output_hidden_dim", ())),
             dropout=cfg.get("dropout", 0.0),
             task=cfg.get("task", "graph"),
+            sum_dense=bool(cfg.get("sum_dense", False)),
             dtype=compute_dtype(cfg.get("dtype")),
         )
 
@@ -321,9 +337,12 @@ class LanczosNet(nn.Module):
                     dtype=cdt if mixed else None,
                 )
                 parts = [h, prop]
-                h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
-                    jnp.concatenate(parts, axis=-1)
-                )
+                if self.sum_dense:
+                    h = SumDense(dim, name=f"layer_{li}", dtype=cdt)(parts)
+                else:
+                    h = nn.Dense(dim, name=f"layer_{li}", dtype=cdt)(
+                        jnp.concatenate(parts, axis=-1)
+                    )
             else:
                 # large-N factored path: helpers accumulate/emit f32;
                 # cast each part so the concat+Dense run at act dtype

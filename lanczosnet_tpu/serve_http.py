@@ -214,12 +214,35 @@ def main(argv=None) -> None:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument(
+        "--native", action="store_true",
+        help="serve through the C++ epoll front (serve_native.py; "
+             "~3x the stdlib front's saturation throughput, binary "
+             "wire support) — falls back loudly if the .so won't build",
+    )
     args = ap.parse_args(argv)
 
     runs = dict(spec.split("=", 1) for spec in args.model)
     srv = ModelServer.from_run_dirs(
         runs, batch_size=args.batch_size, max_delay_ms=args.max_delay_ms
     )
+    if args.native:
+        from lanczosnet_tpu.serve_native import NativeFront
+
+        front = NativeFront(srv, host=args.host, port=args.port)
+        print(
+            f"serving {sorted(runs)} on http://{front.host}:{front.port} "
+            "(native front)",
+            flush=True,
+        )
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            front.close()
+            srv.close()
+        return
     httpd = make_http_server(srv, host=args.host, port=args.port)
     host, port = httpd.server_address
     print(f"serving {sorted(runs)} on http://{host}:{port}", flush=True)

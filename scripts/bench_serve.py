@@ -30,10 +30,16 @@ import time
 import numpy as np
 
 
-def make_payloads(n_graphs: int, n_max: int) -> list[bytes]:
+def make_payloads(
+    n_graphs: int, n_max: int, binary: bool = False
+) -> list[bytes]:
     from lanczosnet_tpu.data.qm8 import synthetic_qm8_graphs
 
     graphs = synthetic_qm8_graphs(n_graphs, seed=3, n_lo=8, n_hi=n_max - 4)
+    if binary:
+        from lanczosnet_tpu.serve_native import encode_graphs_binary
+
+        return [encode_graphs_binary([g]) for g in graphs]
     payloads = []
     for g in graphs:
         payloads.append(
@@ -69,7 +75,9 @@ def client_loop(host, port, payloads, stop, out, idx):
             )
             resp = conn.getresponse()
             body = resp.read()
-            if resp.status == 200 and b"predictions" in body:
+            if resp.status == 200 and (
+                b"predictions" in body or body[:4] == b"LNP1"
+            ):
                 done += 1
                 lat.append(time.perf_counter() - t0)
             else:
@@ -113,6 +121,16 @@ def main():
         help="skip the HTTP front: clients submit to the MicroBatcher "
              "in-process (isolates the batcher+device ceiling from the "
              "HTTP/GIL one)",
+    )
+    ap.add_argument(
+        "--native", action="store_true",
+        help="serve through the C++ epoll front (serve_native.py) "
+             "instead of the stdlib ThreadingHTTPServer",
+    )
+    ap.add_argument(
+        "--binary", action="store_true",
+        help="clients send the binary graph codec instead of JSON "
+             "(native front decodes both; measures the json tax)",
     )
     args = ap.parse_args()
 
@@ -161,9 +179,16 @@ def main():
     )
     srv = ModelServer(max_delay_ms=args.deadline_ms, inflight=args.inflight)
     srv.add_model("lanczosnet", pred)  # warmup compiles the request path
-    httpd = make_http_server(srv)
-    serve_forever_in_thread(httpd)
-    host, port = httpd.server_address
+    httpd = front = None
+    if args.native:
+        from lanczosnet_tpu.serve_native import NativeFront
+
+        front = NativeFront(srv, port=0)
+        host, port = front.host, front.port
+    else:
+        httpd = make_http_server(srv)
+        serve_forever_in_thread(httpd)
+        host, port = httpd.server_address
 
     if args.direct:
         graphs = synthetic_qm8_graphs(64, seed=3, n_lo=8, n_hi=N_MAX - 4)
@@ -183,7 +208,7 @@ def main():
                 i += 1
             out[idx] = (done, errors, lat)
 
-    payloads = make_payloads(64, N_MAX)
+    payloads = make_payloads(64, N_MAX, binary=args.binary)
     rows = []
     for c in [int(s) for s in args.concurrency.split(",")]:
         before = srv.stats("lanczosnet")
@@ -232,7 +257,10 @@ def main():
         f"saturation: {best['req_per_sec']} req/s at {best['clients']} "
         f"clients, mean batch occupancy {best['mean_batch_occupancy']}"
     )
-    httpd.shutdown()
+    if httpd is not None:
+        httpd.shutdown()
+    if front is not None:
+        front.close()
     srv.close()
 
 

@@ -177,6 +177,45 @@ def test_fused_channel_dense_matches_unfused():
     )
 
 
+def test_lanczosnet_sum_dense_matches_concat():
+    """`model.sum_dense: true` (layer Dense as SumDense([h, prop]) —
+    the batch ≥ 128 layout-flip remedy) is the same model as the
+    concat form: identical param tree (same PRNG draws), outputs and
+    gradients equal to f32-accumulation tolerance."""
+    rng = np.random.default_rng(5)
+    batch = _batch_for("LanczosNet", rng)
+    m_cat = build_model({**BASE_CFG, "name": "LanczosNet"})
+    m_sum = build_model(
+        {**BASE_CFG, "name": "LanczosNet", "sum_dense": True}
+    )
+    v_cat = m_cat.init(
+        {"params": jax.random.PRNGKey(3)}, batch, deterministic=True
+    )
+    v_sum = m_sum.init(
+        {"params": jax.random.PRNGKey(3)}, batch, deterministic=True
+    )
+    jax.tree.map(np.testing.assert_array_equal, v_cat, v_sum)
+
+    out_cat = m_cat.apply(v_cat, batch, deterministic=True)
+    out_sum = m_sum.apply(v_cat, batch, deterministic=True)  # swapped tree
+    np.testing.assert_allclose(
+        np.asarray(out_cat), np.asarray(out_sum), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(m, v):
+        return mae_loss(m.apply(v, batch, deterministic=True), batch.label)
+
+    g_cat = jax.grad(lambda v: loss(m_cat, v))(v_cat)
+    g_sum = jax.grad(lambda v: loss(m_sum, v))(v_cat)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5
+        ),
+        g_cat,
+        g_sum,
+    )
+
+
 @pytest.mark.parametrize("name", ALL_MODELS)
 def test_bf16_activations(name):
     """model.dtype: bfloat16 on every dense model — params stay f32,
