@@ -18,6 +18,15 @@ accept / parse / keep-alive / backpressure, GET /healthz and
 - request bodies are either the serve_http JSON wire (compatible) or
   the binary graph codec below (`encode_graphs_binary`), which decodes
   with a handful of `np.frombuffer` views instead of json;
+- JSON bodies the binary wire can carry (integral adjacency in
+  [0, 255], no unknown keys) are TRANSCODED TO LNG1 IN C++ before
+  Python sees them, and the LNP1 answer is transcoded back — the r5b
+  sweep measured server-side `json.loads` of nested adjacency lists as
+  the one per-request Python step left, ~2× the binary wire's latency
+  at low-mid concurrency. Non-conforming JSON (float edge weights,
+  extra keys, malformed bodies) falls back to the Python JSON path
+  unchanged, which also keeps all 400 error text single-sourced.
+  `NativeFront.transcoded()` counts the rewrites;
 - responses are enqueued from the MicroBatcher's completion thread via
   `Future.add_done_callback` → `lnfront_respond` (thread-safe; an
   eventfd wakes the epoll loop), so no per-request Python thread ever
@@ -114,6 +123,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.lnfront_served.restype = ctypes.c_uint64
         lib.lnfront_served.argtypes = [ctypes.c_int]
+        lib.lnfront_transcoded.restype = ctypes.c_uint64
+        lib.lnfront_transcoded.argtypes = [ctypes.c_int]
+        lib.lnfront_transcode.restype = ctypes.c_int32
+        lib.lnfront_transcode.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int32,
+        ]
         lib.lnfront_port.restype = ctypes.c_int
         lib.lnfront_port.argtypes = [ctypes.c_int]
         lib.lnfront_stop.restype = None
@@ -184,6 +200,26 @@ def decode_graphs_binary(body) -> list[dict]:
     if off != len(body):
         raise ValueError(f"trailing bytes: {len(body) - off}")
     return graphs
+
+
+def transcode(direction: str, body: bytes) -> Optional[bytes]:
+    """Run the C++ wire transcoder directly (test/debug handle).
+
+    ``direction`` is ``"json->lng1"`` (what the front does to
+    schema-conforming request bodies) or ``"lnp1->json"`` (what it does
+    to their responses). Returns ``None`` where the server would fall
+    back to the Python JSON path.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libservefront.so unavailable")
+    d = {"json->lng1": 0, "lnp1->json": 1}[direction]
+    # lnp1->json expands ~4.5x (4-byte f32 -> up to 17 chars + ", ")
+    out = np.empty(max(8 * len(body) + 4096, 1 << 16), np.uint8)
+    n = lib.lnfront_transcode(d, body, len(body), out, out.size)
+    if n == -2:  # pragma: no cover — cap sized generously above
+        raise ValueError("transcode buffer too small")
+    return None if n < 0 else out[:n].tobytes()
 
 
 def decode_predictions_binary(body: bytes) -> np.ndarray:
@@ -315,6 +351,11 @@ class NativeFront:
 
     def served(self) -> int:
         return int(self._lib.lnfront_served(self.sid))
+
+    def transcoded(self) -> int:
+        """JSON request bodies rewritten to the binary wire in C++
+        (the Python-free request path; see module docstring)."""
+        return int(self._lib.lnfront_transcoded(self.sid))
 
     def _handle(self, rid: int, model_idx: int, body: bytes) -> None:
         name = self._names[model_idx]

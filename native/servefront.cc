@@ -107,6 +107,7 @@ struct Server {
   };
   std::deque<Out> outbox;
   std::atomic<uint64_t> served{0};
+  std::atomic<uint64_t> transcoded{0};  // JSON bodies rewritten to LNG1
 };
 
 std::mutex g_servers_mu;
@@ -118,6 +119,278 @@ uint64_t req_id(int fd, uint32_t gen) {
 }
 int req_fd(uint64_t id) { return int(id & 0xffffff); }
 uint32_t req_gen(uint64_t id) { return uint32_t(id >> 24); }
+
+// Request ids pack (gen << 24 | fd) into bits 0..55; bit 63 marks a
+// body that arrived as the JSON wire and was transcoded to LNG1 here
+// — lnfront_respond transcodes the LNP1 answer back to JSON. The bit
+// survives the Python round trip for free (ids are opaque uint64s)
+// and drops out of req_fd/req_gen, so no side table is needed.
+constexpr uint64_t kJsonBit = 1ull << 63;
+
+// ---- JSON <-> binary wire transcode ----------------------------------------
+//
+// The r5b saturation sweep (PARITY.md) measured the JSON wire at ~2x
+// slower than the binary codec through this same front at low-mid
+// concurrency: the one per-request Python step left was the worker's
+// json.loads over nested adjacency lists. This section removes it for
+// schema-conforming requests by rewriting the serve_http JSON wire
+//
+//   {"graphs": [{"atom_type": [...], "adj": [[..]] | [[[..]]],
+//                "node_feat": [[..]]?}, ...]}
+//
+// to the LNG1 binary codec (serve_native.py module docstring) before
+// the body is queued, in this loop thread. Anything the binary wire
+// cannot carry — non-integral or out-of-[0,255] adjacency weights,
+// unknown keys, ragged rows, malformed JSON — leaves the body
+// untouched and the Python worker's JSON path handles it (including
+// producing the 400s, so error text stays single-sourced).
+
+struct Jp {
+  const char* p;
+  const char* end;
+  void ws() {
+    while (p < end &&
+           (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+      p++;
+  }
+  bool lit(char c) {
+    ws();
+    if (p < end && *p == c) {
+      p++;
+      return true;
+    }
+    return false;
+  }
+  char peek() {
+    ws();
+    return p < end ? *p : '\0';
+  }
+  // "key" — escapes never appear in this schema's keys; any '\'
+  // makes the caller fall back to Python
+  bool key(std::string& out) {
+    if (!lit('"')) return false;
+    const char* start = p;
+    while (p < end && *p != '"') {
+      if (*p == '\\') return false;
+      p++;
+    }
+    if (p >= end) return false;
+    out.assign(start, size_t(p - start));
+    p++;  // closing quote
+    return true;
+  }
+  bool num(double& v) {
+    ws();
+    if (p >= end || !(*p == '-' || (*p >= '0' && *p <= '9'))) return false;
+    char* q = nullptr;
+    v = strtod(p, &q);  // std::string buffers are NUL-terminated
+    if (q == p) return false;
+    p = q;
+    return true;
+  }
+  // [n, n, ...] — one flat row of numbers (non-empty)
+  bool num_row(std::vector<double>& out) {
+    out.clear();
+    if (!lit('[')) return false;
+    if (peek() == ']') return false;  // empty rows are never valid here
+    for (;;) {
+      double v;
+      if (!num(v)) return false;
+      out.push_back(v);
+      if (lit(',')) continue;
+      return lit(']');
+    }
+  }
+};
+
+bool integral_u8(double v) {
+  return v >= 0.0 && v <= 255.0 && v == double(uint8_t(v));
+}
+
+void put_u16(std::string& s, uint32_t v) {
+  s.push_back(char(v & 0xff));
+  s.push_back(char((v >> 8) & 0xff));
+}
+void put_u32(std::string& s, uint32_t v) {
+  put_u16(s, v & 0xffff);
+  put_u16(s, v >> 16);
+}
+
+// one {"atom_type": ..., "adj": ..., "node_feat"?: ...} object -> the
+// LNG1 per-graph record appended to out; false = fall back to Python
+bool transcode_graph(Jp& j, std::string& out) {
+  if (!j.lit('{')) return false;
+  std::vector<double> atom, row;
+  std::vector<std::vector<double>> adj_rows;  // flattened (e*n) rows
+  std::vector<std::vector<double>> feat_rows;
+  size_t adj_e = 0;  // 0 = not seen, else edge-type count
+  bool have_atom = false, have_adj = false, have_feat = false;
+  if (j.peek() != '}') {
+    for (;;) {
+      std::string k;
+      if (!j.key(k) || !j.lit(':')) return false;
+      if (k == "atom_type") {
+        if (have_atom || !j.num_row(atom)) return false;
+        have_atom = true;
+      } else if (k == "adj") {
+        if (have_adj || !j.lit('[')) return false;
+        have_adj = true;
+        // 2-D ([n][n], e=1) or 3-D ([e][n][n]) by lookahead
+        if (j.peek() != '[') return false;
+        const char* save = j.p;
+        Jp probe = j;
+        bool three_d = probe.lit('[') && probe.peek() == '[';
+        j.p = save;
+        adj_e = 1;
+        if (three_d) {
+          adj_e = 0;
+          for (;;) {
+            if (!j.lit('[')) return false;
+            adj_e++;
+            if (j.peek() != '[') return false;
+            for (;;) {
+              if (!j.num_row(row)) return false;
+              adj_rows.push_back(row);
+              if (j.lit(',')) continue;
+              if (!j.lit(']')) return false;
+              break;
+            }
+            if (j.lit(',')) continue;
+            if (!j.lit(']')) return false;
+            break;
+          }
+        } else {
+          for (;;) {
+            if (!j.num_row(row)) return false;
+            adj_rows.push_back(row);
+            if (j.lit(',')) continue;
+            if (!j.lit(']')) return false;
+            break;
+          }
+        }
+      } else if (k == "node_feat") {
+        if (have_feat) return false;
+        // null is the JSON wire's "absent"
+        if (j.peek() == 'n') {
+          if (j.end - j.p < 4 || memcmp(j.p, "null", 4) != 0) return false;
+          j.p += 4;
+        } else {
+          if (!j.lit('[')) return false;
+          have_feat = true;
+          for (;;) {
+            if (!j.num_row(row)) return false;
+            feat_rows.push_back(row);
+            if (j.lit(',')) continue;
+            if (!j.lit(']')) return false;
+            break;
+          }
+        }
+      } else {
+        return false;  // unknown key -> Python decides what it means
+      }
+      if (j.lit(',')) continue;
+      break;
+    }
+  }
+  if (!j.lit('}')) return false;
+  if (!have_atom || !have_adj) return false;
+
+  // shape + value checks (binary-wire representability)
+  size_t n = atom.size();
+  if (n == 0 || n > 0xffff || adj_e == 0 || adj_e > 0xff) return false;
+  if (adj_rows.size() != adj_e * n) return false;
+  for (auto& r : adj_rows)
+    if (r.size() != n) return false;
+  size_t f = 0;
+  if (have_feat) {
+    if (feat_rows.size() != n) return false;
+    f = feat_rows[0].size();
+    if (f == 0 || f > 0xffff) return false;
+    for (auto& r : feat_rows)
+      if (r.size() != f) return false;
+  }
+  for (double v : atom)  // range check first: int32_t(±inf) is UB
+    if (!(v >= -2147483648.0 && v <= 2147483647.0) ||
+        v != double(int32_t(v)))
+      return false;
+  for (auto& r : adj_rows)
+    for (double v : r)
+      if (!integral_u8(v)) return false;
+
+  // emit: u16 n, u8 e, u8 0, u16 f, u16 0, i32[n], u8[e*n*n], f32[n*f]
+  put_u16(out, uint32_t(n));
+  out.push_back(char(adj_e));
+  out.push_back('\0');
+  put_u16(out, uint32_t(f));
+  put_u16(out, 0);
+  for (double v : atom) put_u32(out, uint32_t(int32_t(v)));
+  for (auto& r : adj_rows)
+    for (double v : r) out.push_back(char(uint8_t(v)));
+  for (auto& r : feat_rows)
+    for (double v : r) {
+      float fv = float(v);
+      uint32_t bits;
+      memcpy(&bits, &fv, 4);
+      put_u32(out, bits);
+    }
+  return true;
+}
+
+bool transcode_json_to_lng1(const std::string& in, std::string& out) {
+  Jp j{in.data(), in.data() + in.size()};
+  if (!j.lit('{')) return false;
+  std::string k;
+  if (!j.key(k) || k != "graphs" || !j.lit(':') || !j.lit('['))
+    return false;
+  if (j.peek() == ']') return false;  // empty -> Python's 400 text
+  out.assign("LNG1\0\0\0\0", 8);
+  uint32_t count = 0;
+  for (;;) {
+    if (!transcode_graph(j, out)) return false;
+    count++;
+    if (count > 4096) return false;  // the Python decoder's cap
+    if (j.lit(',')) continue;
+    if (!j.lit(']')) return false;
+    break;
+  }
+  if (!j.lit('}')) return false;
+  j.ws();
+  if (j.p != j.end) return false;
+  out[4] = char(count & 0xff);
+  out[5] = char((count >> 8) & 0xff);
+  out[6] = char((count >> 16) & 0xff);
+  out[7] = char((count >> 24) & 0xff);
+  return true;
+}
+
+// LNP1 (u32 count, u32 tasks, f32 data) -> {"predictions": [[...]]}.
+// %.9g round-trips float32 exactly, matching what json.dumps of the
+// float64-widened .tolist() gives clients to within float32.
+bool transcode_lnp1_to_json(const std::string& in, std::string& out) {
+  if (in.size() < 12 || memcmp(in.data(), "LNP1", 4) != 0) return false;
+  uint32_t count, tasks;
+  memcpy(&count, in.data() + 4, 4);
+  memcpy(&tasks, in.data() + 8, 4);
+  if (in.size() != 12 + size_t(4) * count * tasks) return false;
+  out.clear();
+  out.reserve(size_t(16) * count * tasks + 32);
+  out += "{\"predictions\": [";
+  const char* d = in.data() + 12;
+  char buf[32];
+  for (uint32_t i = 0; i < count; i++) {
+    out += i ? ", [" : "[";
+    for (uint32_t t = 0; t < tasks; t++) {
+      float v;
+      memcpy(&v, d + size_t(4) * (size_t(i) * tasks + t), 4);
+      int m = snprintf(buf, sizeof buf, "%.9g", double(v));
+      if (t) out += ", ";
+      out.append(buf, size_t(m));
+    }
+    out += "]";
+  }
+  out += "]}";
+  return true;
+}
 
 const char* status_text(int code) {
   switch (code) {
@@ -151,7 +424,7 @@ void append_response(Conn& c, int status, const std::string& body,
 void arm(Server& s, Conn& c, bool out) {
   if (c.epollout == out) return;
   epoll_event ev{};
-  ev.events = EPOLLIN | (out ? EPOLLOUT : 0);
+  ev.events = EPOLLIN | (out ? uint32_t(EPOLLOUT) : 0u);
   ev.data.fd = c.fd;
   epoll_ctl(s.epoll_fd, EPOLL_CTL_MOD, c.fd, &ev);
   c.epollout = out;
@@ -224,6 +497,19 @@ bool handle_parsed(Server& s, Conn& c) {
     return true;
   }
   std::string body = c.in.substr(c.header_end, c.content_len);
+  uint64_t id = req_id(c.fd, c.gen);
+  // JSON-wire bodies that the binary codec can carry are rewritten to
+  // LNG1 here (µs-scale on this thread) so the Python worker never
+  // json.loads a schema-conforming request; the kJsonBit routes the
+  // LNP1 answer back through transcode_lnp1_to_json
+  if (!body.empty() && body[0] != 'L') {
+    std::string bin;
+    if (transcode_json_to_lng1(body, bin)) {
+      body.swap(bin);
+      id |= kJsonBit;
+      s.transcoded.fetch_add(1, std::memory_order_relaxed);
+    }
+  }
   {
     std::lock_guard<std::mutex> lk(s.mu);
     if (s.queue.size() >= s.queue_cap) {
@@ -231,8 +517,7 @@ bool handle_parsed(Server& s, Conn& c) {
                       "application/json");
       return true;
     }
-    s.queue.push_back(Request{req_id(c.fd, c.gen), model_idx,
-                              std::move(body)});
+    s.queue.push_back(Request{id, model_idx, std::move(body)});
     c.inflight++;
   }
   s.cv.notify_one();
@@ -488,10 +773,19 @@ void lnfront_respond(int sid, uint64_t id, int status, const uint8_t* body,
                      int32_t len, int content_type) {
   Server* s = get(sid);
   if (!s) return;
+  std::string b((const char*)body, size_t(len));
+  // request arrived as JSON and was transcoded to LNG1: hand the
+  // client JSON back. Python error responses (non-LNP1) are already
+  // JSON and pass through untouched.
+  if (id & kJsonBit) {
+    std::string js;
+    if (transcode_lnp1_to_json(b, js)) b.swap(js);
+    content_type = 1;
+  }
   {
     std::lock_guard<std::mutex> lk(s->mu);
     s->outbox.push_back(Server::Out{
-        id, status, std::string((const char*)body, size_t(len)),
+        id, status, std::move(b),
         content_type == 1 ? "application/json" : "application/octet-stream"});
   }
   uint64_t one = 1;
@@ -502,6 +796,30 @@ void lnfront_respond(int sid, uint64_t id, int status, const uint8_t* body,
 uint64_t lnfront_served(int sid) {
   Server* s = get(sid);
   return s ? s->served.load(std::memory_order_relaxed) : 0;
+}
+
+// JSON bodies rewritten to the binary wire in handle_parsed (the
+// Python-free request path); tests assert this moves.
+uint64_t lnfront_transcoded(int sid) {
+  Server* s = get(sid);
+  return s ? s->transcoded.load(std::memory_order_relaxed) : 0;
+}
+
+// Direct transcoder handles so tests can pin the rewrites
+// byte-for-byte against the Python codec (encode_graphs_binary /
+// json.dumps) without a socket in the loop. dir 0: JSON -> LNG1;
+// dir 1: LNP1 -> JSON. Returns bytes written, -1 if the body is not
+// transcodable (the server's Python-fallback case), -2 if cap is too
+// small.
+int32_t lnfront_transcode(int dir, const uint8_t* in, int32_t len,
+                          uint8_t* out, int32_t cap) {
+  std::string src((const char*)in, size_t(len)), dst;
+  bool ok = dir == 0 ? transcode_json_to_lng1(src, dst)
+                     : transcode_lnp1_to_json(src, dst);
+  if (!ok) return -1;
+  if (int32_t(dst.size()) > cap) return -2;
+  memcpy(out, dst.data(), dst.size());
+  return int32_t(dst.size());
 }
 
 int lnfront_port(int sid) {

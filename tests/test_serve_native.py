@@ -28,6 +28,7 @@ from lanczosnet_tpu.serve_native import (
     decode_graphs_binary,
     decode_predictions_binary,
     encode_graphs_binary,
+    transcode,
 )
 
 pytestmark = pytest.mark.skipif(
@@ -118,6 +119,99 @@ def test_codec_rejects_garbage():
         decode_graphs_binary(memoryview(body + b"\0"))
 
 
+# ---- C++ wire transcoders (no server needed) --------------------------------
+
+
+def _json_wire(graphs, **extra):
+    return json.dumps(
+        {
+            "graphs": [
+                {
+                    "atom_type": np.asarray(g["atom_type"]).tolist(),
+                    "adj": np.asarray(g["adj"]).tolist(),
+                    **(
+                        {"node_feat": np.asarray(g["node_feat"]).tolist()}
+                        if "node_feat" in g
+                        else {}
+                    ),
+                    **extra,
+                }
+                for g in graphs
+            ]
+        }
+    ).encode()
+
+
+def test_transcode_json_matches_python_encoder():
+    """The C++ JSON->LNG1 rewrite is byte-identical to
+    encode_graphs_binary on the same graphs — 3-D float-but-integral
+    adjacency (what json.dumps of float32 .tolist() actually sends),
+    with and without node_feat."""
+    graphs = _graphs(3, seed=21)
+    rng = np.random.default_rng(4)
+    graphs[1]["node_feat"] = rng.normal(
+        size=(len(graphs[1]["atom_type"]), 5)
+    ).astype(np.float32)
+    got = transcode("json->lng1", _json_wire(graphs))
+    assert got == encode_graphs_binary(graphs)
+
+
+def test_transcode_json_2d_adj():
+    g = _graphs(1, seed=2)[0]
+    g2 = {"atom_type": g["atom_type"], "adj": np.asarray(g["adj"])[0]}
+    got = transcode("json->lng1", _json_wire([g2]))
+    assert got == encode_graphs_binary([g2])
+    back = decode_graphs_binary(got)
+    assert back[0]["adj"].shape == (1,) + g2["adj"].shape
+
+
+def test_transcode_falls_back_where_binary_wire_cannot_carry():
+    """Everything the LNG1 wire can't represent returns None — the
+    server then routes the ORIGINAL body to the Python JSON path."""
+    g = _graphs(1, seed=6)[0]
+    frac = dict(g, adj=np.asarray(g["adj"]) * 0.5)  # non-integral
+    assert transcode("json->lng1", _json_wire([frac])) is None
+    neg = dict(g, adj=-np.asarray(g["adj"]))  # out of [0, 255]
+    assert transcode("json->lng1", _json_wire([neg])) is None
+    assert transcode("json->lng1", _json_wire([g], weight=1.0)) is None
+    assert transcode("json->lng1", b"not json at all") is None
+    assert transcode("json->lng1", b'{"graphs": []}') is None
+    ragged = json.dumps(
+        {"graphs": [{"atom_type": [1, 2], "adj": [[0, 1], [1]]}]}
+    ).encode()
+    assert transcode("json->lng1", ragged) is None
+    # null node_feat is the JSON wire's "absent" — must transcode
+    ok = transcode(
+        "json->lng1",
+        json.dumps(
+            {
+                "graphs": [
+                    {
+                        "atom_type": np.asarray(g["atom_type"]).tolist(),
+                        "adj": np.asarray(g["adj"]).tolist(),
+                        "node_feat": None,
+                    }
+                ]
+            }
+        ).encode(),
+    )
+    assert ok == encode_graphs_binary([g])
+
+
+def test_transcode_response_round_trips_float32():
+    preds = np.random.default_rng(8).normal(size=(3, 16)).astype(np.float32)
+    body = (
+        b"LNP1"
+        + struct.pack("<II", 3, 16)
+        + np.ascontiguousarray(preds).tobytes()
+    )
+    js = transcode("lnp1->json", body)
+    back = np.asarray(json.loads(js)["predictions"], np.float32)
+    np.testing.assert_array_equal(back, preds)  # %.9g is f32-exact
+    assert transcode("lnp1->json", body + b"\0") is None
+    assert transcode("lnp1->json", b'{"error": "boom"}') is None
+
+
 # ---- C++-only paths (no Python touched per request) -------------------------
 
 
@@ -144,7 +238,10 @@ def test_unknown_model_404(native_env):
 
 
 def test_json_wire_matches_direct(native_env):
-    srv, _front, base = native_env
+    """JSON requests ride the C++ transcode (front.transcoded() moves,
+    so no per-request json.loads in the worker) and still answer the
+    JSON wire exactly."""
+    srv, front, base = native_env
     graphs = _graphs(4, seed=3)
     payload = json.dumps(
         {
@@ -155,10 +252,38 @@ def test_json_wire_matches_direct(native_env):
             ]
         }
     ).encode()
+    before = front.transcoded()
     code, body = _post(f"{base}/v1/models/gcn:predict", payload)
     assert code == 200
+    assert front.transcoded() == before + 1
     preds = np.asarray(json.loads(body)["predictions"], np.float32)
     direct = srv._predictors["gcn"].predict(graphs)
+    np.testing.assert_allclose(preds, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_json_wire_python_fallback_matches_direct(native_env):
+    """Float edge weights can't ride the binary wire: the front must
+    leave the body alone (transcoded() unchanged) and the Python JSON
+    path must serve it, matching the in-process predictor on the SAME
+    float graphs. (No adj-vs-adj/2 distinguishability check: GCN's
+    degree normalization cancels uniform edge scaling exactly.)"""
+    srv, front, base = native_env
+    g = _graphs(1, seed=13)[0]
+    half = dict(g, adj=np.asarray(g["adj"], np.float32) * 0.5)
+    payload = json.dumps(
+        {
+            "graphs": [
+                {"atom_type": half["atom_type"].tolist(),
+                 "adj": half["adj"].tolist()}
+            ]
+        }
+    ).encode()
+    before = front.transcoded()
+    code, body = _post(f"{base}/v1/models/gcn:predict", payload)
+    assert code == 200
+    assert front.transcoded() == before
+    preds = np.asarray(json.loads(body)["predictions"], np.float32)
+    direct = srv._predictors["gcn"].predict([half])
     np.testing.assert_allclose(preds, direct, rtol=1e-5, atol=1e-6)
 
 
