@@ -44,7 +44,7 @@ from lanczosnet_tpu.serve import MicroBatcher, Predictor
 class ModelServer:
     """Named Predictors, each device-resident behind a MicroBatcher."""
 
-    def __init__(self, max_delay_ms: float = 5.0, inflight: int = 2):
+    def __init__(self, max_delay_ms: float = 5.0, inflight: int = 1):
         self.max_delay_ms = max_delay_ms
         self.inflight = inflight
         self._batchers: dict[str, MicroBatcher] = {}
@@ -57,8 +57,9 @@ class ModelServer:
         batch_size: int = 64,
         max_delay_ms: float = 5.0,
         warmup: bool = True,
+        inflight: int = 1,
     ) -> "ModelServer":
-        srv = cls(max_delay_ms=max_delay_ms)
+        srv = cls(max_delay_ms=max_delay_ms, inflight=inflight)
         for name, run_dir in runs.items():
             # a directory produced by `lanczosnet-export` serves its
             # deserialized StableHLO program — no model code re-traced
@@ -215,6 +216,12 @@ def main(argv=None) -> None:
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
     ap.add_argument(
+        "--inflight", type=int, default=1,
+        help="MicroBatcher dispatched-but-unfetched pipeline depth; 1 "
+             "(default) measured fastest at saturation — fuller batches "
+             "beat deeper pipelining on a dispatch-latency-bound link",
+    )
+    ap.add_argument(
         "--native", action="store_true",
         help="serve through the C++ epoll front (serve_native.py; "
              "~3x the stdlib front's saturation throughput, binary "
@@ -224,7 +231,8 @@ def main(argv=None) -> None:
 
     runs = dict(spec.split("=", 1) for spec in args.model)
     srv = ModelServer.from_run_dirs(
-        runs, batch_size=args.batch_size, max_delay_ms=args.max_delay_ms
+        runs, batch_size=args.batch_size, max_delay_ms=args.max_delay_ms,
+        inflight=args.inflight,
     )
     if args.native:
         from lanczosnet_tpu.serve_native import NativeFront

@@ -109,8 +109,9 @@ def main():
         help="comma-separated client counts",
     )
     ap.add_argument(
-        "--inflight", type=int, default=2,
-        help="MicroBatcher dispatched-but-unfetched depth",
+        "--inflight", type=int, default=1,
+        help="MicroBatcher dispatched-but-unfetched depth (1 measured "
+             "fastest at saturation — see --inflight-sweep)",
     )
     ap.add_argument(
         "--legacy-wire", action="store_true",
@@ -131,6 +132,22 @@ def main():
         "--binary", action="store_true",
         help="clients send the binary graph codec instead of JSON "
              "(native front decodes both; measures the json tax)",
+    )
+    ap.add_argument(
+        "--ab-wire", action="store_true",
+        help="run every concurrency level twice — binary codec then "
+             "JSON — in ONE process (same tunnel weather, same compiled "
+             "program), tagging rows with \"wire\"; the honest A/B for "
+             "the C++ JSON transcode",
+    )
+    ap.add_argument(
+        "--inflight-sweep", type=str, default=None, metavar="DEPTHS",
+        help="comma-separated MicroBatcher pipeline depths; rebuilds "
+             "ModelServer+front per depth IN ONE PROCESS (the jit cache "
+             "stays warm, so only the first depth pays the remote "
+             "compile) and runs the FIRST --concurrency level at each — "
+             "measures whether the tunnel-dispatch ceiling lifts with a "
+             "deeper dispatched-but-unfetched pipeline",
     )
     args = ap.parse_args()
 
@@ -177,22 +194,24 @@ def main():
         model, params, n_max=N_MAX, batch_size=args.batch_size,
         num_eig_vec=K, compact_wire=not args.legacy_wire,
     )
-    srv = ModelServer(max_delay_ms=args.deadline_ms, inflight=args.inflight)
-    srv.add_model("lanczosnet", pred)  # warmup compiles the request path
-    httpd = front = None
-    if args.native:
-        from lanczosnet_tpu.serve_native import NativeFront
+    def make_front(srv):
+        if args.native:
+            from lanczosnet_tpu.serve_native import NativeFront
 
-        front = NativeFront(srv, port=0)
-        host, port = front.host, front.port
-    else:
+            front = NativeFront(srv, port=0)
+            return None, front, front.host, front.port
         httpd = make_http_server(srv)
         serve_forever_in_thread(httpd)
         host, port = httpd.server_address
+        return httpd, None, host, port
 
-    if args.direct:
-        graphs = synthetic_qm8_graphs(64, seed=3, n_lo=8, n_hi=N_MAX - 4)
+    direct_graphs = (
+        synthetic_qm8_graphs(64, seed=3, n_lo=8, n_hi=N_MAX - 4)
+        if args.direct else None
+    )
+    payloads = make_payloads(64, N_MAX, binary=args.binary)
 
+    def run_level(c, srv, host, port, payloads=payloads):
         def direct_loop(stop, out, idx):
             mb = srv._batchers["lanczosnet"]
             lat, done, errors = [], 0, 0
@@ -200,7 +219,9 @@ def main():
             while not stop.is_set():
                 t0 = time.perf_counter()
                 try:
-                    mb.submit(graphs[i % len(graphs)]).result(timeout=30)
+                    mb.submit(
+                        direct_graphs[i % len(direct_graphs)]
+                    ).result(timeout=30)
                     done += 1
                     lat.append(time.perf_counter() - t0)
                 except Exception:
@@ -208,9 +229,6 @@ def main():
                 i += 1
             out[idx] = (done, errors, lat)
 
-    payloads = make_payloads(64, N_MAX, binary=args.binary)
-    rows = []
-    for c in [int(s) for s in args.concurrency.split(",")]:
         before = srv.stats("lanczosnet")
         stop = threading.Event()
         out: dict = {}
@@ -238,7 +256,7 @@ def main():
         after = srv.stats("lanczosnet")
         d_req = after.get("count", 0) - before.get("count", 0)
         d_batch = after.get("batches", 0) - before.get("batches", 0)
-        row = {
+        return {
             "clients": c,
             "req_per_sec": round(done / dt, 1),
             "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1)
@@ -249,6 +267,69 @@ def main():
             "mean_batch_occupancy": round(d_req / d_batch, 2)
             if d_batch else None,
         }
+
+    if args.ab_wire:
+        both = {
+            "binary": make_payloads(64, N_MAX, binary=True),
+            "json": make_payloads(64, N_MAX, binary=False),
+        }
+        srv = ModelServer(
+            max_delay_ms=args.deadline_ms, inflight=args.inflight
+        )
+        srv.add_model("lanczosnet", pred)
+        httpd, front, host, port = make_front(srv)
+        for c in [int(s) for s in args.concurrency.split(",")]:
+            for wire, pl in both.items():
+                row = run_level(c, srv, host, port, payloads=pl)
+                row["wire"] = wire
+                if front is not None and wire == "json":
+                    # sanity: the C++ transcode actually carried the load
+                    row["transcoded_total"] = front.transcoded()
+                print(json.dumps(row), flush=True)
+        if httpd is not None:
+            httpd.shutdown()
+        if front is not None:
+            front.close()
+        srv.close()
+        if not args.inflight_sweep:  # both flags: fall through warm
+            return
+
+    if args.inflight_sweep:
+        # one process: the first depth pays the remote compile (pred is
+        # shared, the request program is jit-cached), later depths are
+        # warm — comparable same-process, same-day rows. Repeat depths
+        # in the DEPTHS list to interleave (e.g. 2,1,2,1) — process-to-
+        # process and window-to-window drift on this box is bigger than
+        # the effects being measured. Runs every --concurrency level at
+        # each depth.
+        rows = []
+        for depth in [int(s) for s in args.inflight_sweep.split(",")]:
+            srv = ModelServer(max_delay_ms=args.deadline_ms, inflight=depth)
+            srv.add_model("lanczosnet", pred)
+            httpd, front, host, port = make_front(srv)
+            for c in [int(s) for s in args.concurrency.split(",")]:
+                row = run_level(c, srv, host, port)
+                row["inflight"] = depth
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+            if httpd is not None:
+                httpd.shutdown()
+            if front is not None:
+                front.close()
+            srv.close()
+        best = max(rows, key=lambda r: r["req_per_sec"])
+        print(
+            f"best: {best['req_per_sec']} req/s at inflight "
+            f"{best['inflight']} ({best['clients']} clients)"
+        )
+        return
+
+    srv = ModelServer(max_delay_ms=args.deadline_ms, inflight=args.inflight)
+    srv.add_model("lanczosnet", pred)  # warmup compiles the request path
+    httpd, front, host, port = make_front(srv)
+    rows = []
+    for c in [int(s) for s in args.concurrency.split(",")]:
+        row = run_level(c, srv, host, port)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
